@@ -1,0 +1,13 @@
+"""Network architectures, registered under ARCH_REGISTRY by import."""
+
+from ..utils.registry import ARCH_REGISTRY
+from .ood_e4e import OODFaceGANE4E
+from .discriminators import StyleGAN2DiscriminatorMod, LatentDiscriminator
+
+
+def build_network(opt: dict):
+    """Reference `build_network` (BasicSR/basicsr/archs/__init__.py:19):
+    pop `type`, look up the arch class, construct with the remaining keys."""
+    opt = dict(opt)
+    net_type = opt.pop("type")
+    return ARCH_REGISTRY.get(net_type)(**opt)

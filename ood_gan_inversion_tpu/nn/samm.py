@@ -1,0 +1,202 @@
+"""SAMM — Spatial Alignment and Masking Module (flax, NHWC).
+
+Reference: src/ops/SAMM/helpers.py:22-215. Dataflow (faithfully reproduced):
+given the encoder feature `feat` and the generator's conv output `gen_feat`
+at one resolution, AlignNet predicts (dx, dy, alpha) from
+(InstanceNorm(gen_warped) - InstanceNorm(feat), InstanceNorm(feat)); the flow
+warps the *generator* feature (grid_sample, align_corners=False), alpha
+soft-blends warped vs. original, iterated `cycle_align` times with flow
+accumulation (clipped to +-scale) and alpha composition via new_PRM; on the
+last cycle the coarser scale's alignment is merged (flow replaced, alpha
+composed through a bicubic upsample).
+
+Weight init matches the reference net effect: SPM_Warp xavier-normals every
+conv weight it contains (SAMM/helpers.py:124-127 runs after, and overrides,
+the zero-init at L117).
+
+All state (the aligns pyramid) is explicit input/output — no module-held
+dicts — so the whole arch forward is one pure jitted program.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from .layers import (Conv2dTorch, InstanceNorm2d, FusedLeakyReLU,
+                     xavier_normal_init)
+from .irse import BottleneckIR
+from .stylegan2 import ModulatedConv2d, StyledConv, NoiseInjection
+from ..ops.upfirdn2d import make_kernel, blur as fir_blur
+from ..ops.grid_sample import grid_sample_bilinear
+from ..ops.resize import resize_bicubic_ac
+
+
+def new_prm(x, y):
+    """Soft mask update y*g + x*(1-g), g=x, with bicubic-AC upsample of x to
+    y's size when they differ (SAMM/helpers.py:62-77)."""
+    if x.shape[1:3] != y.shape[1:3]:
+        x = resize_bicubic_ac(x, (y.shape[1], y.shape[2]))
+    return (y * x) + (x * (1.0 - x))
+
+
+class _XavierConv(Conv2dTorch):
+    """Conv2dTorch but with xavier_normal weights (SPM_Warp.weight_init)."""
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("weight", xavier_normal_init,
+                       (self.kernel_size, self.kernel_size, cin, self.out_ch))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            y = y + b.astype(self.dtype).reshape(1, 1, 1, -1)
+        return y
+
+
+class _XavierBottleneckIR(nn.Module):
+    """bottleneck_IR with InstanceNorm norms and xavier conv weights — the
+    AlignNet body unit (scaleNshiftBlock, SAMM/helpers.py:58-60)."""
+    in_ch: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, x):
+        if self.in_ch == self.depth:
+            shortcut = x
+        else:
+            shortcut = _XavierConv(self.depth, 1, 1, 0, use_bias=False,
+                                   name="shortcut_conv")(x)
+            shortcut = InstanceNorm2d(self.depth, affine=True,
+                                      name="shortcut_norm")(shortcut)
+        res = InstanceNorm2d(self.in_ch, affine=True, name="norm1")(x)
+        res = _XavierConv(self.depth, 3, 1, 1, use_bias=False, name="conv1")(res)
+        # PReLU
+        a = self.param("prelu", nn.initializers.constant(0.25), (self.depth,))
+        res = jnp.where(res >= 0, res, a.reshape(1, 1, 1, -1) * res)
+        res = _XavierConv(self.depth, 3, 1, 1, use_bias=False, name="conv2")(res)
+        res = InstanceNorm2d(self.depth, affine=True, name="norm2")(res)
+        return res + shortcut
+
+
+class AlignNet(nn.Module):
+    """(dx, dy, alpha) predictor (SAMM/helpers.py:85-109)."""
+    in_ch: int
+    scale: float = 1.0
+    diff_f_and_g: bool = True
+
+    @nn.compact
+    def __call__(self, source, target):
+        norm = InstanceNorm2d(self.in_ch, affine=False, name="norm")
+        source, target = norm(source), norm(target)
+        if self.diff_f_and_g:
+            h = jnp.concatenate([source - target, target], axis=-1)
+        else:
+            h = jnp.concatenate([source, target], axis=-1)
+        h = _XavierBottleneckIR(self.in_ch * 2, self.in_ch * 2, name="body0")(h)
+        h = _XavierBottleneckIR(self.in_ch * 2, 3, name="body1")(h)
+        dx = jnp.tanh(h[..., 0:1]) * self.scale
+        dy = jnp.tanh(h[..., 1:2]) * self.scale
+        alpha = jax.nn.sigmoid(h[..., 2:3])
+        return jnp.concatenate([dx, dy, alpha], axis=-1)
+
+
+class SPMWarp(nn.Module):
+    """Iterative warp/mask estimator (SAMM/helpers.py:111-179)."""
+    in_ch: int
+    scale: float = 0.1
+    cycle_align: int = 1
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    diff_f_and_g: bool = True
+
+    def setup(self):
+        self.body = AlignNet(self.in_ch, scale=self.scale,
+                             diff_f_and_g=self.diff_f_and_g)
+        self._kernel = make_kernel(self.blur_kernel)
+
+    def _add(self, aligned, align):
+        dx = jnp.clip(aligned[..., 0:1] + align[..., 0:1], -self.scale, self.scale)
+        dy = jnp.clip(aligned[..., 1:2] + align[..., 1:2], -self.scale, self.scale)
+        alpha = jnp.clip(new_prm(aligned[..., 2:3], align[..., 2:3]), 0.0, 1.0)
+        return jnp.concatenate([dx, dy, alpha], axis=-1)
+
+    def _upsample_add(self, coarse, align):
+        """Cross-scale merge: flow replaced by the fine scale's, alpha
+        composed through new_PRM (SAMM/helpers.py:139-147)."""
+        alpha = jnp.clip(new_prm(coarse[..., 2:3], align[..., 2:3]), 0.0, 1.0)
+        return jnp.concatenate([align[..., 0:1], align[..., 1:2], alpha], axis=-1)
+
+    def __call__(self, source, target, aligned_coarse=None):
+        """source: encoder feature; target: generator feature (both NHWC).
+        Returns (aligned_target, align[dx,dy,alpha])."""
+        h, w = source.shape[1], source.shape[2]
+        lin_y = jnp.linspace(-1.0, 1.0, h)
+        lin_x = jnp.linspace(-1.0, 1.0, w)
+        base_x = jnp.broadcast_to(lin_x[None, :], (h, w))
+        base_y = jnp.broadcast_to(lin_y[:, None], (h, w))
+
+        aligned_target = target
+        accum = None
+        for k in range(self.cycle_align):
+            align = self.body(aligned_target, source)
+            align = fir_blur(align, self._kernel.astype(align.dtype), pad=(2, 1))
+            accum = align if accum is None else self._add(accum, align)
+            if k == self.cycle_align - 1 and aligned_coarse is not None:
+                accum = self._upsample_add(aligned_coarse, accum)
+            dx, dy, alpha = accum[..., 0], accum[..., 1], accum[..., 2:3]
+            grid = jnp.stack([base_x[None] + dx, base_y[None] + dy], axis=-1)
+            warped = grid_sample_bilinear(target, grid)
+            aligned_target = warped * alpha + target * (1.0 - alpha)
+        return aligned_target, accum
+
+
+class StyleBottleneckIR(nn.Module):
+    """2x bottleneck_IR (no norm) + ModulatedConv2d + FusedLeakyReLU
+    (SAMM/helpers.py:22-37). Optional btn for the modulation blocks."""
+    in_ch: int
+    depth: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        x = BottleneckIR(self.in_ch, self.in_ch, 1, bn=False, name="btn0")(x)
+        x = BottleneckIR(self.in_ch, self.depth, 1, bn=False, name="btn1")(x)
+        x = ModulatedConv2d(self.depth, self.depth, 3, dtype=self.dtype,
+                            name="final_conv")(x, style)
+        return FusedLeakyReLU(self.depth, name="act")(x)
+
+
+class StyledScaleNShiftBlock(nn.Module):
+    """One SAMM modulation block (SAMM/helpers.py:182-215). With the shipped
+    configs btn is None => identity feature path; the block is SPM_Warp only.
+    (The reference's unused NoiseInjection member is dropped.)"""
+    in_ch: int
+    out_ch: int
+    warp_scale: float = 0.02
+    cycle_align: int = 1
+    btn: Optional[str] = None
+    diff_f_and_g: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.btn == "style_bottleneck_IR":
+            self.btn1 = StyleBottleneckIR(self.in_ch, self.out_ch,
+                                          dtype=self.dtype)
+            ch = self.out_ch
+        else:
+            self.btn1 = None
+            ch = self.in_ch
+        self.alignment = SPMWarp(ch, scale=self.warp_scale,
+                                 cycle_align=self.cycle_align,
+                                 diff_f_and_g=self.diff_f_and_g)
+
+    def __call__(self, feat, style, gen_feat, aligned_coarse=None):
+        res = self.btn1(feat, style) if self.btn1 is not None else feat
+        return self.alignment(res, gen_feat, aligned_coarse)

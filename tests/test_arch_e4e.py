@@ -1,0 +1,117 @@
+"""End-to-end forward tests for the flagship OOD E4E arch on a tiny config
+(out_size=64), exercising the SAMM-conditioned decode, mask compositing, and
+blending, plus the encoder in isolation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ood_gan_inversion_tpu.archs import OODFaceGANE4E, build_network
+from ood_gan_inversion_tpu.nn.encoders.e4e import Encoder4Editing
+
+
+def tiny_arch(**kw):
+    kw.setdefault("out_size", 64)
+    kw.setdefault("channel_multiplier", 1)
+    kw.setdefault("cycle_align", 2)
+    kw.setdefault("warp_scale", 0.08)
+    return OODFaceGANE4E(**kw)
+
+
+def test_encoder_shapes():
+    enc = Encoder4Editing(num_layers=50, mode="ir_se", stylegan_size=64)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 256, 256, 3))
+    params = enc.init(rng, x)
+    w, feats = enc.apply(params, x)
+    assert w.shape == (1, 10, 512)      # 2*log2(64)-2 = 10
+    shapes = [f.shape for f in feats]
+    assert shapes == [(1, 256, 256, 64), (1, 128, 128, 64), (1, 64, 64, 128),
+                      (1, 32, 32, 256), (1, 16, 16, 512)]
+
+
+def test_arch_forward_full():
+    arch = tiny_arch()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+    out = arch.apply(params, x, mod_size=64,
+                     rngs={"noise": jax.random.PRNGKey(1)})
+    assert out["image"].shape == (1, 64, 64, 3)
+    assert out["mask"].shape == (1, 64, 64, 1)
+    # mod_size=64 with a 32px floor -> 2 SAMM scales (layers 5, 7)
+    assert sorted(k for k in out["aligns"] if k <= 4) == [1, 2]
+    assert out["aligns"][1].shape == (1, 32, 32, 3)   # upsample conv out @32
+    assert out["aligns"][2].shape == (1, 64, 64, 3)
+    assert 64 in out["aligns"] and out["aligns"][64].shape == (1, 64, 64, 3)
+    a = np.asarray(out["mask"])
+    assert (a >= 0).all() and (a <= 1).all()
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_arch_forward_no_modulation():
+    arch = tiny_arch(enable_modulation=False)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=0)
+    out = arch.apply(params, x, mod_size=0,
+                     rngs={"noise": jax.random.PRNGKey(1)})
+    assert out["image"].shape == (1, 64, 64, 3)
+    assert out["aligns"] == {}
+
+
+def test_arch_progressive_mod_sizes():
+    arch = tiny_arch()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+    out32 = arch.apply(params, x, mod_size=32,
+                       rngs={"noise": jax.random.PRNGKey(1)})
+    assert sorted(k for k in out32["aligns"] if k <= 4) == [1]
+
+
+def test_arch_jit_gradient_flows_to_samm_only_targets():
+    """Gradients must reach modulation + feats_conv but not the (stop-grad)
+    encoder trunk through the feature path."""
+    arch = tiny_arch()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+
+    def loss_fn(p):
+        out = arch.apply(p, x, mod_size=64, rngs={"noise": jax.random.PRNGKey(1)})
+        return jnp.mean(jnp.square(out["image"] - x))
+
+    g = jax.grad(loss_fn)(params)
+    gp = g["params"]
+    mod_norm = sum(float(jnp.sum(jnp.abs(l)))
+                   for l in jax.tree_util.tree_leaves(gp["modulation_3"]))
+    fc_norm = sum(float(jnp.sum(jnp.abs(l)))
+                  for l in jax.tree_util.tree_leaves(gp["feats_conv_3"]))
+    enc_norm = sum(float(jnp.sum(jnp.abs(l)))
+                   for l in jax.tree_util.tree_leaves(gp["encoder"]))
+    assert mod_norm > 0
+    assert fc_norm > 0
+    assert enc_norm == 0
+
+
+def test_build_network_registry():
+    net = build_network({"type": "ood_faceGAN_e4e", "out_size": 64,
+                         "channel_multiplier": 1})
+    assert isinstance(net, OODFaceGANE4E)
+
+
+def test_discriminators_registry():
+    net_d = build_network({"type": "StyleGAN2Discriminator_mod",
+                           "out_size": 64, "channel_multiplier": 1})
+    net_d2 = build_network({"type": "LatentDiscrinimator", "chn": 10,
+                            "dim": 64, "n_mlp": 2, "hidden_chn": 4})
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 64, 3))
+    p = net_d.init(rng, x)
+    score, feats = net_d.apply(p, x)
+    assert score.shape == (2, 1) and len(feats) == 2
+    lats = jax.random.normal(rng, (2, 10, 64))
+    p2 = net_d2.init(rng, lats)
+    s2, _ = net_d2.apply(p2, lats)
+    assert s2.shape == (2, 1)
