@@ -1,0 +1,490 @@
+"""OOD face-GAN training model: the three-optimizer GAN alternation as one
+jitted, mesh-sharded program.
+
+Reference: src/models/OOD_faceGAN_model.py (1050 LoC of imperative
+requires_grad toggling, retain_graph reuse, and `0*pred` DDP hacks). Here:
+
+  * params are partitioned ONCE into (trainable, frozen) subtrees by the
+    `fix_and_grad` name rules (reference setup_optimizers L325-355 +
+    grad_net L517-554); gradients are only ever computed for the trainable
+    subtree, so "freezing" costs nothing.
+  * the D step, latent-D step and G step run inside a single jitted
+    train_step in the reference's order (D sees the current G's output, G
+    sees the updated D) — optimize_parameters L578-789.
+  * R1 regularization is a jax.grad-inside-the-step (lazy cadence decided
+    host-side, so the common no-R1 step compiles without it).
+  * EMA is a pytree lerp with decay 0.5**(32/10000) (L789, L262-269).
+  * the progressive (encoder stage, ModSize) curriculum is a pure function
+    of the step count (reference update_stage mutates lists in place,
+    arch L162-186); each of the <=4 stages is its own compiled program.
+  * data-parallelism: batch arrays carry a 'data' NamedSharding, params are
+    replicated; XLA emits the psum (replacing DDP/NCCL + reduce_loss_dict).
+"""
+
+import math
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax
+from flax import struct
+from flax import traverse_util
+
+from ..utils.registry import MODEL_REGISTRY
+from ..archs import build_network
+from ..losses import build_loss, GANLoss, r1_penalty_fn
+from ..losses.perceptual import PerceptualLoss
+from ..losses.id_loss import IDLoss
+from ..losses.mask_loss import MaskLoss
+
+
+# --------------------------------------------------------------------------
+# param partitioning (fix_and_grad)
+
+def _match(key: str, needles) -> bool:
+    return any(n in key for n in needles)
+
+
+def split_params(params, fix_list, grad_list):
+    """Split a params pytree into (trainable, frozen) by substring rules on
+    the dot-joined path, reproducing the reference's named_parameters loop."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    train, frozen = {}, {}
+    for k, v in flat.items():
+        fixed = _match(k, fix_list)
+        if _match(k, grad_list):
+            fixed = False
+        (frozen if fixed else train)[k] = v
+    unf = lambda d: traverse_util.unflatten_dict(d, sep="/")
+    return unf(train), unf(frozen)
+
+
+def merge_params(train, frozen):
+    flat = dict(traverse_util.flatten_dict(frozen, sep="/"))
+    flat.update(traverse_util.flatten_dict(train, sep="/"))
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+# --------------------------------------------------------------------------
+# progressive curriculum (pure function of step)
+
+def progressive_schedule(step: int, *, style_cnt: int,
+                         initial_stage: int,
+                         progressive_mod_size,
+                         progressive_stage_steps) -> tuple[int, int]:
+    """(encoder stage, ModSize) at `step` — the closed form of the
+    reference's update_stage pop-loop (OOD_faceGAN_e4e_arch.py:162-186)."""
+    milestones = sorted(progressive_stage_steps)
+    crossings = sum(1 for m in milestones if step > m)
+    stage = min(initial_stage + crossings, style_cnt)
+    pms = list(progressive_mod_size)
+    if not pms:
+        return stage, 0
+    mod_idx = min(crossings, len(pms) - 1)
+    return stage, pms[mod_idx]
+
+
+def default_stage_steps(start: int, step: int, style_cnt: int):
+    return [start + step * i for i in range(style_cnt)]
+
+
+# --------------------------------------------------------------------------
+# train state
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params_g_train: Any
+    params_g_frozen: Any
+    params_d: Any
+    params_d2: Any
+    ema_train: Any
+    opt_g: Any
+    opt_d: Any
+    opt_d2: Any
+    mean_path_length: jnp.ndarray
+    loss_net_params: Any            # {'vgg': ..., 'id': ...} frozen
+
+
+def multistep_lr(base_lr: float, milestones, gamma: float):
+    """torch MultiStepLR as an optax schedule. An int milestone means
+    'decay every N steps' (the shipped YAML passes a scalar)."""
+    if milestones is None:
+        return lambda step: base_lr
+    if isinstance(milestones, (int, float)):
+        period = int(milestones)
+        return lambda step: base_lr * (gamma ** (step // period))
+    ms = jnp.asarray(sorted(int(m) for m in milestones))
+    return lambda step: base_lr * (gamma ** jnp.sum(step >= ms))
+
+
+@MODEL_REGISTRY.register(name="ood_faceGAN_Model")
+class OODFaceGANModel:
+    """Builds nets/losses/optimizers from the experiment opt dict and owns
+    the jitted train/eval steps. No hidden state: everything learnable or
+    running lives in TrainState."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_mimo = opt.get("is_mimo", False)
+        train_opt = opt.get("train", {})
+
+        # --- networks -----------------------------------------------------
+        g_opt = dict(opt["network_g"])
+        for k in list(g_opt):
+            if k.endswith("_pth") or k.endswith("_pth_key") or k in (
+                    "stage", "progressiveModSize", "progressiveStart",
+                    "progressiveStep", "progressiveStageSteps",
+                    "progressiveModFrozen", "ModDropout_p", "ModSize",
+                    "eval_path_length", "merge", "aug_alignment",
+                    "aug_inputcolor"):
+                g_opt.pop(k)
+        self.net_g = build_network(g_opt)
+        self.net_d = build_network(opt["network_d"]) if "network_d" in opt else None
+        self.net_d2 = build_network(opt["network_d2"]) if "network_d2" in opt else None
+
+        # --- curriculum ---------------------------------------------------
+        narch = opt["network_g"]
+        self.style_cnt = int(math.log2(narch.get("out_size", 1024))) * 2 - 2
+        stage_name = narch.get("stage", "Inference")
+        stage_map = {"Inference": self.style_cnt, "WTraining": 0}
+        self.initial_stage = stage_map.get(
+            stage_name, int(stage_name) if str(stage_name).isdigit() else self.style_cnt)
+        self.progressive_mod_size = narch.get("progressiveModSize",
+                                              [32, 64, 128, 256])
+        fixed_mod = narch.get("ModSize", None)
+        if fixed_mod:
+            self.progressive_mod_size = [fixed_mod]
+        steps = narch.get("progressiveStageSteps", None)
+        if steps is None:
+            steps = default_stage_steps(narch.get("progressiveStart", 20000),
+                                        narch.get("progressiveStep", 2000),
+                                        self.style_cnt)
+        self.progressive_stage_steps = steps
+
+        # --- losses ---------------------------------------------------
+        self.cri_gan = (GANLoss(**train_opt["gan_opt"])
+                        if "gan_opt" in train_opt else None)
+        self.cri_pix = (build_loss(train_opt["pix_opt"])
+                        if "pix_opt" in train_opt else None)
+        self.cri_id = (IDLoss(**{k: v for k, v in train_opt["id_opt"].items()
+                                 if k != "type"})
+                       if "id_opt" in train_opt else None)
+        self.cri_perceptual = (
+            PerceptualLoss(**{k: v for k, v in train_opt["perceptual_opt"].items()
+                              if k != "type"})
+            if "perceptual_opt" in train_opt else None)
+        self.cri_mask = (MaskLoss(**{k: v for k, v in train_opt["mask_opt"].items()
+                                     if k != "type"})
+                         if "mask_opt" in train_opt else None)
+        self.cri_latent_reg = (build_loss(train_opt["latent_reg_opt"])
+                               if "latent_reg_opt" in train_opt else None)
+
+        self.skip_latent_g = train_opt.get("skip_latent_g", True)
+        self.skip_gen_g = train_opt.get("skip_gen_g", False)
+        self.r1_reg_weight = train_opt.get("r1_reg_weight", 10)
+        self.net_d_reg_every = train_opt.get("net_d_reg_every", 16)
+        self.net_g_reg_every = train_opt.get("net_g_reg_every", 4)
+        self.grad_clip_norm = train_opt.get("grad_clip_norm", 999.0)
+        self.ema_decay = 0.5 ** (32 / (10 * 1000))
+
+        fix = list(train_opt.get("fix_and_grad", {}).get("fix", []) or [])
+        grad = list(train_opt.get("fix_and_grad", {}).get("grad", []) or [])
+        # avg_latent is never trainable; delta_latent only when opted in
+        # (reference arch L124-129)
+        fix.append("avg_latent")
+        if not narch.get("optim_delta_latent", False):
+            fix.append("delta_latent")
+        self.fix_list, self.grad_list = fix, grad
+
+        self._build_optimizers(train_opt)
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    def _build_optimizers(self, train_opt):
+        og = train_opt.get("optim_g", {"lr": 2e-5})
+        od = train_opt.get("optim_d", {"lr": 2e-5})
+        od2 = train_opt.get("optim_d2", {"lr": 2e-6})
+        sched = train_opt.get("scheduler", {}) or {}
+        milestones = sched.get("milestones", None)
+        gamma = sched.get("gamma", 1.0)
+
+        reg_ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
+        betas = (0.0 ** reg_ratio, 0.99 ** reg_ratio)
+
+        lr_g = og.get("lr", 2e-5)
+        gen_decay = og.get("generator_lr_decay", 0.1)
+        overfit_decay = og.get("overfit_lr_decay", 1.0)
+
+        def adam(lr_base):
+            return optax.chain(
+                optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8),
+                optax.scale_by_schedule(
+                    lambda s, lr=lr_base: -multistep_lr(lr, milestones, gamma)(s)))
+
+        def label_fn(train_params):
+            flat = traverse_util.flatten_dict(train_params, sep="/")
+            labels = {}
+            for k in flat:
+                if "generator" in k:
+                    labels[k] = "generator"
+                elif "delta_latent" in k:
+                    labels[k] = "overfit"
+                else:
+                    labels[k] = "encoder"
+            return traverse_util.unflatten_dict(labels, sep="/")
+
+        self._label_fn = label_fn
+        self.tx_g = lambda: optax.chain(
+            optax.clip_by_global_norm(self.grad_clip_norm),
+            optax.multi_transform(
+                {"encoder": adam(lr_g),
+                 "generator": adam(lr_g * gen_decay),
+                 "overfit": adam(lr_g * overfit_decay)},
+                label_fn))
+        d_reg_ratio = self.net_d_reg_every / (self.net_d_reg_every + 1)
+        d_betas = (0.0 ** d_reg_ratio, 0.99 ** d_reg_ratio)
+
+        def d_adam(lr_base):
+            return optax.chain(
+                optax.clip_by_global_norm(self.grad_clip_norm),
+                optax.scale_by_adam(b1=d_betas[0], b2=d_betas[1], eps=1e-8),
+                optax.scale_by_schedule(
+                    lambda s, lr=lr_base: -multistep_lr(lr, milestones, gamma)(s)))
+
+        self.tx_d = lambda: d_adam(od.get("lr", 2e-5))
+        self.tx_d2 = lambda: d_adam(od2.get("lr", 2e-6))
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, sample_shape) -> TrainState:
+        """Initialize all parameters and optimizer states."""
+        k_g, k_d, k_d2, k_vgg, k_id, k_noise = jax.random.split(rng, 6)
+        x = jnp.zeros(sample_shape, jnp.float32)
+        mod = max(self.progressive_mod_size) if self.progressive_mod_size else 0
+        vars_g = self.net_g.init({"params": k_g, "noise": k_noise}, x,
+                                 mod_size=mod)
+        # also create the style-MLP params (used by random_gen / latent D)
+        z = jnp.zeros((1, self.net_g.style_dim))
+        vars_mlp = self.net_g.init(
+            {"params": k_g}, z, method=type(self.net_g).random_latents)
+        params_g = merge_params(vars_mlp["params"], vars_g["params"])
+
+        train_g, frozen_g = split_params(params_g, self.fix_list, self.grad_list)
+
+        params_d = self.net_d.init(k_d, x)["params"] if self.net_d else {}
+        lats = jnp.zeros((1, self.style_cnt, self.net_g.style_dim))
+        params_d2 = (self.net_d2.init(k_d2, lats)["params"]
+                     if self.net_d2 else {})
+
+        loss_net_params = {}
+        if self.cri_perceptual is not None:
+            loss_net_params["vgg"] = self.cri_perceptual.init(
+                k_vgg, (1,) + sample_shape[1:])
+        if self.cri_id is not None:
+            loss_net_params["id"] = self.cri_id.init(k_id)
+
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_g_train=train_g,
+            params_g_frozen=frozen_g,
+            params_d=params_d,
+            params_d2=params_d2,
+            ema_train=jax.tree_util.tree_map(jnp.copy, train_g),
+            opt_g=self.tx_g().init(train_g),
+            opt_d=self.tx_d().init(params_d) if self.net_d else {},
+            opt_d2=self.tx_d2().init(params_d2) if self.net_d2 else {},
+            mean_path_length=jnp.zeros(()),
+            loss_net_params=loss_net_params,
+        )
+
+    # ------------------------------------------------------------------
+    def schedule_at(self, step: int):
+        return progressive_schedule(
+            step, style_cnt=self.style_cnt, initial_stage=self.initial_stage,
+            progressive_mod_size=self.progressive_mod_size,
+            progressive_stage_steps=self.progressive_stage_steps)
+
+    def _forward(self, params_g, x, rng, mod_size, stage):
+        return self.net_g.apply({"params": params_g}, x, mod_size=mod_size,
+                                stage=stage, rngs={"noise": rng})
+
+    # ------------------------------------------------------------------
+    def _train_step(self, state: TrainState, batch, rng, *, mod_size: int,
+                    stage: int, do_d: bool, do_d2: bool, do_r1_d: bool,
+                    do_r1_d2: bool):
+        """One full D / D2 / G alternation (reference L578-789)."""
+        logs = {}
+        gt5 = batch["gt"]                      # (B, K, H, W, C)
+        b, k = gt5.shape[0], gt5.shape[1]
+        x = gt5.reshape((-1,) + gt5.shape[2:])  # lr == gt for this task
+        gt = x
+        rng_d, rng_g, rng_z, rng_path = jax.random.split(rng, 4)
+        params_g_all = merge_params(state.params_g_train, state.params_g_frozen)
+
+        new_d, new_opt_d = state.params_d, state.opt_d
+        if do_d and self.cri_gan is not None and not self.skip_gen_g:
+            out_d = self._forward(params_g_all, x, rng_d, mod_size, stage)
+            fake = jax.lax.stop_gradient(out_d["image"])
+
+            def d_loss_fn(pd):
+                real_pred, _ = self.net_d.apply({"params": pd}, gt)
+                fake_pred, _ = self.net_d.apply({"params": pd}, fake)
+                l_d = (self.cri_gan(real_pred, True, is_disc=True) +
+                       self.cri_gan(fake_pred, False, is_disc=True))
+                aux = {"l_d": l_d, "real_score": jnp.mean(real_pred),
+                       "fake_score": jnp.mean(fake_pred)}
+                if do_r1_d:
+                    r1 = r1_penalty_fn(
+                        lambda im: self.net_d.apply({"params": pd}, im)[0], gt)
+                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                    aux["l_d_r1"] = l_r1
+                    l_d = l_d + l_r1
+                return l_d, aux
+
+            (_, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d)
+            upd, new_opt_d = self.tx_d().update(d_grads, state.opt_d,
+                                                state.params_d)
+            new_d = optax.apply_updates(state.params_d, upd)
+            logs.update(d_aux)
+
+        new_d2, new_opt_d2 = state.params_d2, state.opt_d2
+        real_lats = None
+        if do_d2 and self.cri_gan is not None and not self.skip_latent_g:
+            # encoder latents (detached) vs style-MLP latents from random z
+            # (reference infer gt_inv path, L455-495; we skip the unused
+            # image decode of that extra infer — same math, less compute)
+            out_lat = self._forward(params_g_all, x, rng_d, mod_size, stage)
+            enc_lats = jax.lax.stop_gradient(out_lat["lats"])
+            z = jax.random.normal(rng_z, (b * k, self.net_g.style_dim))
+            real_lats = jax.lax.stop_gradient(self.net_g.apply(
+                {"params": params_g_all}, z,
+                method=type(self.net_g).random_latents))
+
+            def d2_loss_fn(pd2):
+                real_pred, _ = self.net_d2.apply({"params": pd2}, real_lats)
+                fake_pred, _ = self.net_d2.apply({"params": pd2}, enc_lats)
+                l = (self.cri_gan(real_pred, True, is_disc=True) +
+                     self.cri_gan(fake_pred, False, is_disc=True))
+                aux = {"l_latent_d": l,
+                       "real_latent_score": jnp.mean(real_pred),
+                       "fake_latent_score": jnp.mean(fake_pred)}
+                if do_r1_d2:
+                    r1 = r1_penalty_fn(
+                        lambda lt: self.net_d2.apply({"params": pd2}, lt)[0],
+                        real_lats)
+                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                    aux["l_latent_d_r1"] = l_r1
+                    l = l + l_r1
+                return l, aux
+
+            (_, d2_aux), d2_grads = jax.value_and_grad(
+                d2_loss_fn, has_aux=True)(state.params_d2)
+            upd2, new_opt_d2 = self.tx_d2().update(d2_grads, state.opt_d2,
+                                                   state.params_d2)
+            new_d2 = optax.apply_updates(state.params_d2, upd2)
+            logs.update(d2_aux)
+
+        # ----------------------------- G step ----------------------------
+        def g_loss_fn(train_g):
+            pg = merge_params(train_g, state.params_g_frozen)
+            out = self._forward(pg, x, rng_g, mod_size, stage)
+            fake = out["image"]
+            total = jnp.zeros(())
+            aux = {}
+            if self.cri_gan is not None and not self.skip_gen_g:
+                fake_pred, _ = self.net_d.apply({"params": new_d}, fake)
+                l_g = self.cri_gan(fake_pred, True, is_disc=False)
+                aux["l_g"] = l_g
+                total += l_g
+            if self.cri_gan is not None and not self.skip_latent_g:
+                fake_lat_pred, _ = self.net_d2.apply({"params": new_d2},
+                                                     out["lats"])
+                l_lg = self.cri_gan(fake_lat_pred, True, is_disc=False)
+                aux["l_latent_g"] = l_lg
+                total += l_lg
+            if self.cri_id is not None:
+                shape5 = (b, k) + fake.shape[1:]
+                l_id, l_ref = self.cri_id(
+                    state.loss_net_params["id"], fake.reshape(shape5),
+                    gt.reshape(shape5), x.reshape(shape5),
+                    mimo_id=self.is_mimo, score=batch.get("lq_size"))
+                aux["l_id_target"] = l_id
+                total += l_id + l_ref
+            if self.cri_pix is not None:
+                l_pix = self.cri_pix(fake, gt)
+                aux["l_pix"] = l_pix
+                total += l_pix
+            if self.cri_perceptual is not None:
+                l_p, l_s = self.cri_perceptual(
+                    state.loss_net_params["vgg"], fake, gt)
+                if l_p is not None:
+                    aux["l_percep"] = l_p
+                    total += l_p
+                if l_s is not None:
+                    aux["l_style"] = l_s
+                    total += l_s
+            if self.cri_latent_reg is not None:
+                l_lr = self.cri_latent_reg(
+                    pg["delta_latent"],
+                    jnp.zeros_like(pg["delta_latent"]))
+                aux["l_latent_reg"] = l_lr
+                total += l_lr
+            if self.cri_mask is not None and out["aligns"]:
+                l_bin, l_area = self.cri_mask(out["aligns"])
+                aux["l_bin"] = l_bin
+                aux["l_area"] = l_area
+                total += l_bin + l_area
+            aux["l_total"] = total
+            return total, aux
+
+        (_, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_g_train)
+        upd_g, new_opt_g = self.tx_g().update(g_grads, state.opt_g,
+                                              state.params_g_train)
+        new_train_g = optax.apply_updates(state.params_g_train, upd_g)
+        logs.update(g_aux)
+
+        d = self.ema_decay
+        new_ema = jax.tree_util.tree_map(lambda e, p: e * d + p * (1 - d),
+                                         state.ema_train, new_train_g)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g_train=new_train_g, params_d=new_d, params_d2=new_d2,
+            ema_train=new_ema, opt_g=new_opt_g, opt_d=new_opt_d,
+            opt_d2=new_opt_d2)
+        return new_state, logs
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch, rng, step: int):
+        """Host-side wrapper: derives the static curriculum/cadence flags and
+        dispatches to a cached jitted step."""
+        stage, mod_size = self.schedule_at(step)
+        do_d = self.cri_gan is not None and not self.skip_gen_g
+        do_d2 = (self.cri_gan is not None and not self.skip_latent_g
+                 and self.net_d2 is not None)
+        do_r1_d = do_d and (step % self.net_d_reg_every == 0)
+        do_r1_d2 = do_d2 and (step % self.net_d_reg_every == 0)
+        key = (mod_size, stage, do_d, do_d2, do_r1_d, do_r1_d2)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(partial(
+                self._train_step, mod_size=mod_size, stage=stage, do_d=do_d,
+                do_d2=do_d2, do_r1_d=do_r1_d, do_r1_d2=do_r1_d2))
+        return self._jit_cache[key](state, batch, rng)
+
+    # ------------------------------------------------------------------
+    def eval_params(self, state: TrainState, ema: bool = False):
+        train = state.ema_train if ema else state.params_g_train
+        return merge_params(train, state.params_g_frozen)
+
+    def infer(self, state: TrainState, x, rng, step: Optional[int] = None,
+              ema: bool = False):
+        stage, mod_size = self.schedule_at(step if step is not None else 10 ** 9)
+        key = ("infer", mod_size, stage, ema)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda p, xx, kk: self._forward(
+                p, xx, kk, mod_size, stage))
+        return self._jit_cache[key](self.eval_params(state, ema), x, rng)

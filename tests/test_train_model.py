@@ -1,0 +1,150 @@
+"""Full training-model contract test on a micro config (the reference
+framework's inline-YAML model-test pattern, BasicSR/tests/test_models/
+test_sr_model.py:11-166, minus the GPU requirement)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ood_gan_inversion_tpu.models import build_model
+from ood_gan_inversion_tpu.models.ood_model import (
+    split_params, merge_params, progressive_schedule, multistep_lr)
+
+
+def micro_opt(**over):
+    opt = {
+        "name": "micro",
+        "model_type": "ood_faceGAN_Model",
+        "is_mimo": True,
+        "network_g": {
+            "type": "ood_faceGAN_e4e",
+            "out_size": 64,
+            "style_dim": 512,
+            "channel_multiplier": 1,
+            "enable_modulation": True,
+            "modulation_type": "NOISE",
+            "warp_scale": 0.08,
+            "cycle_align": 2,
+            "blend_with_gen": True,
+            "stage": "Inference",
+            "progressiveModSize": [32, 64],
+            "progressiveStart": 2,
+            "progressiveStep": 4,
+        },
+        "network_d": {"type": "StyleGAN2Discriminator_mod", "out_size": 64,
+                      "channel_multiplier": 1},
+        "network_d2": {"type": "LatentDiscrinimator", "chn": 10, "dim": 512,
+                       "n_mlp": 2, "hidden_chn": 4},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 2e-5, "generator_lr_decay": 1.0},
+            "optim_d": {"type": "Adam", "lr": 2e-5},
+            "optim_d2": {"type": "Adam", "lr": 2e-6},
+            "scheduler": {"type": "MultiStepLR", "milestones": 15000,
+                          "gamma": 0.75},
+            "startup_iter": 100,
+            "fix_and_grad": {"fix": ["generator", "avg_latent", "encoder"],
+                             "grad": []},
+            "skip_latent_g": True,
+            "grad_clip_norm": 999.0,
+            "gan_opt": {"gan_type": "wgan_softplus", "loss_weight": 0.5},
+            "net_d_reg_every": 99999999,
+            "net_g_reg_every": 99999999,
+            "pix_opt": {"type": "MSELoss", "loss_weight": 1.0},
+            "mask_opt": {"type": "MaskLoss", "loss_weight": 5.0,
+                         "loss_func": {"binary": [32, 64],
+                                       "area": {"32": 0.3, "64": 0.3},
+                                       "target": 1, "binary_weight": 4e-2}},
+        },
+    }
+    opt.update(over)
+    return opt
+
+
+def make_batch(rng, b=2, k=1, size=64):
+    x = jax.random.normal(rng, (b, k, size, size, 3)) * 0.5
+    return {"gt": x, "lr": x, "lq_size": jnp.ones((b, k)),
+            "deg_type": jnp.zeros((b, k))}
+
+
+def test_split_merge_roundtrip():
+    params = {"a": {"w": jnp.ones(2)}, "generator": {"w": jnp.zeros(3)},
+              "delta_latent": jnp.ones(1)}
+    t, f = split_params(params, ["generator"], [])
+    assert "generator" in f and "a" in t and "delta_latent" in t
+    m = merge_params(t, f)
+    assert set(m) == set(params)
+
+
+def test_progressive_schedule():
+    kw = dict(style_cnt=18, initial_stage=18,
+              progressive_mod_size=[32, 64, 128, 256],
+              progressive_stage_steps=[2000, 6000, 10000])
+    assert progressive_schedule(0, **kw) == (18, 32)
+    assert progressive_schedule(2001, **kw) == (18, 64)
+    assert progressive_schedule(6001, **kw) == (18, 128)
+    assert progressive_schedule(99999, **kw) == (18, 256)
+
+
+def test_multistep_lr():
+    f = multistep_lr(1.0, 100, 0.5)
+    assert f(0) == 1.0 and f(100) == 0.5 and f(250) == 0.25
+    g = multistep_lr(1.0, [10, 20], 0.5)
+    assert float(g(5)) == 1.0 and float(g(10)) == 0.5 and float(g(25)) == 0.25
+
+
+def test_model_train_step_updates_only_trainables():
+    model = build_model(micro_opt())
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng, (2, 64, 64, 3))
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    stage, mod = model.schedule_at(0)
+    assert (stage, mod) == (10, 32)     # style_cnt for 64px = 10
+
+    before_train = jax.tree_util.tree_map(np.asarray, state.params_g_train)
+    before_frozen = jax.tree_util.tree_map(np.asarray, state.params_g_frozen)
+    before_d = jax.tree_util.tree_map(np.asarray, state.params_d)
+
+    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(2), 0)
+
+    for key in ("l_d", "l_g", "l_pix", "l_bin", "l_area", "l_total",
+                "real_score", "fake_score"):
+        assert key in logs, key
+        assert np.isfinite(float(logs[key])), key
+    # latent-D skipped by config
+    assert "l_latent_d" not in logs
+
+    # trainables moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_g_train, before_train)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # frozen untouched
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_g_frozen, before_frozen)
+    assert max(jax.tree_util.tree_leaves(same)) == 0
+    # D moved
+    moved_d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_d, before_d)
+    assert max(jax.tree_util.tree_leaves(moved_d)) > 0
+    assert int(new_state.step) == 1
+
+    # EMA between old and new
+    flat_old = jax.tree_util.tree_leaves(before_train)[0]
+    flat_ema = np.asarray(jax.tree_util.tree_leaves(new_state.ema_train)[0])
+    flat_new = np.asarray(jax.tree_util.tree_leaves(new_state.params_g_train)[0])
+    assert not np.allclose(flat_ema, flat_old) or np.allclose(flat_new, flat_old)
+
+
+def test_model_infer():
+    model = build_model(micro_opt())
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng, (1, 64, 64, 3))
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    out = model.infer(state, x, jax.random.PRNGKey(3))
+    assert out["image"].shape == (1, 64, 64, 3)
+    out_ema = model.infer(state, x, jax.random.PRNGKey(3), ema=True)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(out_ema["image"]), atol=1e-6)
