@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: full-pipeline 1024px face inversion throughput on one TPU chip.
+
+Protocol mirrors the reference's timing harness
+(/root/reference/run_ood_faceGAN_inversion.py:167-172, 187): batch-1 forward
+of the full OOD pipeline (E4E encode @256 -> SAMM-conditioned StyleGAN2
+decode to 1024 -> mask composite -> blend), wall-clock with
+block_until_ready (the cuda.synchronize analogue), mean over timed iters.
+
+Prints ONE JSON line: {"metric", "value" (inversions/sec/chip), "unit",
+"vs_baseline"}. The reference repo publishes no numbers (BASELINE.md), so
+vs_baseline is measured against A100_EQUIV_BASELINE — an informed estimate of
+the torch reference on one A100 (StyleGAN2 1024px synthesis ~25ms + IR-SE-50
+encoder ~8ms + SAMM/blend ~7ms => ~25 img/s). Replace with a measured number
+when reference hardware is available.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")  # init on CPU, run on TPU
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+A100_EQUIV_BASELINE = 25.0  # imgs/sec, see module docstring
+
+ARCH_OPT = {
+    "type": "ood_faceGAN_e4e",
+    "out_size": 1024,
+    "style_dim": 512,
+    "encoder": "E4E",
+    "enable_modulation": True,
+    "modulation_type": "NOISE",
+    "warp_scale": 0.08,
+    "cycle_align": 2,
+    "blend_with_gen": True,
+}
+
+
+def main():
+    from ood_gan_inversion_tpu.archs import build_network
+
+    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    dev = tpu[0] if tpu else jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    net = build_network(ARCH_OPT)
+    rng = jax.random.PRNGKey(0)
+    x_host = np.random.RandomState(0).randn(1, 1024, 1024, 3).astype(np.float32)
+
+    # init on CPU (fast — avoids a huge remote compile of the init program)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = net.init({"params": rng, "noise": rng},
+                             jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+    params = jax.device_put(variables["params"], dev)
+    x = jax.device_put(jnp.asarray(x_host), dev)
+
+    fwd = jax.jit(
+        lambda p, xx, k: net.apply({"params": p}, xx, mod_size=256,
+                                   rngs={"noise": k}),
+        device=dev)
+
+    t0 = time.time()
+    out = fwd(params, x, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    warmup, iters = 3, 20
+    for i in range(warmup):
+        out = fwd(params, x, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fwd(params, x, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    ips = 1.0 / dt
+    print(f"batch-1: {dt * 1000:.2f} ms/img", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "celebahq_1024px_inversions_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(ips / A100_EQUIV_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Batch inversion engine (reference run_ood_faceGAN_inversion.py:29-191):
+load model + weights, optional latent-direction editing, iterate image dirs,
+save inversion + per-scale mask images, report PSNR/SSIM/LPIPS/ID and
+per-image wall-clock (block_until_ready replaces cuda.synchronize)."""
+
+import glob
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .archs import build_network
+from .utils.img_util import imread, img2input, tensor2img, imwrite
+from .utils.logger import get_root_logger
+from .metrics import calculate_metric
+
+
+def load_editing_direction(path, name, intensity=1.0):
+    """np.load(directions/<name>.npy) * intensity (reference L49-62)."""
+    d = np.load(osp.join(path, f"{name}.npy")).astype(np.float32)
+    return d * intensity
+
+
+def list_images(folder):
+    files = []
+    for ext in ("*.png", "*.jpg", "*.jpeg"):
+        files.extend(glob.glob(osp.join(folder, ext)))
+    return sorted(files)
+
+
+class InversionEngine:
+    def __init__(self, opt, params=None, rng=None):
+        self.opt = opt
+        g_opt = {k: v for k, v in opt["network_g"].items()
+                 if not (k.endswith("_pth") or k.endswith("_pth_key") or k in (
+                     "stage", "progressiveModSize", "progressiveStart",
+                     "progressiveStep", "progressiveStageSteps", "ModSize"))}
+        self.net = build_network(g_opt)
+        self.out_size = opt["network_g"].get("out_size", 1024)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if params is None:
+            x = jnp.zeros((1, self.out_size, self.out_size, 3))
+            params = self.net.init({"params": rng, "noise": rng}, x,
+                                   mod_size=256)["params"]
+        self.params = params
+        self.mod_size = opt["network_g"].get("ModSize") or 256
+        self._fwd = jax.jit(lambda p, x, k: self.net.apply(
+            {"params": p}, x, mod_size=self.mod_size, rngs={"noise": k}))
+
+    def apply_direction(self, direction):
+        """model.delta_latent += direction (reference L150-151)."""
+        d = jnp.asarray(direction)
+        if d.ndim == 2:
+            d = d[None]
+        self.params = dict(self.params)
+        self.params["delta_latent"] = self.params["delta_latent"] + d
+
+    def invert(self, img01, rng):
+        x = jnp.asarray(img2input(img01, self.out_size))
+        out = self._fwd(self.params, x, rng)
+        jax.block_until_ready(out["image"])
+        return out
+
+
+def run_inversion(opt, out_dir, params=None):
+    logger = get_root_logger()
+    engine = InversionEngine(opt, params=params)
+
+    editing = opt.get("editing", {}) or {}
+    if editing.get("direction"):
+        d = load_editing_direction(editing.get("dir_path", "directions"),
+                                   editing["direction"],
+                                   editing.get("intensity", 1.0))
+        engine.apply_direction(d)
+
+    metrics_opt = (opt.get("val", {}) or {}).get("metrics", {})
+    datasets = opt.get("datasets", {}) or {}
+    rng = jax.random.PRNGKey(0)
+    sums, count, times = {}, 0, []
+    for name, ds_opt in datasets.items():
+        folder = ds_opt.get("dataroot_gt")
+        for path in list_images(folder):
+            img = imread(path)
+            t0 = time.time()
+            out = engine.invert(img, rng)
+            times.append(time.time() - t0)
+            inv = tensor2img(np.asarray(out["image"]))
+            base = osp.splitext(osp.basename(path))[0]
+            imwrite(inv, osp.join(out_dir, "inversion", f"{base}.png"))
+            for k, align in out["aligns"].items():
+                m = (np.clip(np.asarray(align[0, ..., 2]), 0, 1) * 255
+                     ).astype(np.uint8)
+                imwrite(m, osp.join(out_dir, "masks", f"{base}_{k}.png"))
+            gt = tensor2img(img2input(img, engine.out_size))
+            for mname, m_opt in metrics_opt.items():
+                val = calculate_metric({"img": inv, "img2": gt}, m_opt)
+                sums[mname] = sums.get(mname, 0.0) + val
+            count += 1
+    report = {m: s / max(count, 1) for m, s in sums.items()}
+    report["sec_per_img"] = float(np.mean(times[1:])) if len(times) > 1 else (
+        times[0] if times else 0.0)
+    report["images"] = count
+    logger.info(f"Inversion report: {report}")
+    return report

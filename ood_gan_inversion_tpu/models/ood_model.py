@@ -165,7 +165,8 @@ class OODFaceGANModel:
         self.progressive_stage_steps = steps
 
         # --- losses ---------------------------------------------------
-        self.cri_gan = (GANLoss(**train_opt["gan_opt"])
+        self.cri_gan = (GANLoss(**{k: v for k, v in train_opt["gan_opt"].items()
+                                   if k != "type"})
                         if "gan_opt" in train_opt else None)
         self.cri_pix = (build_loss(train_opt["pix_opt"])
                         if "pix_opt" in train_opt else None)

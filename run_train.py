@@ -1,0 +1,10 @@
+#!/usr/bin/env python
+"""Train CLI (reference run_train.py): python run_train.py --opt <yml>"""
+
+import os.path as osp
+
+from ood_gan_inversion_tpu.train import train_pipeline
+
+if __name__ == "__main__":
+    root_path = osp.abspath(osp.dirname(__file__))
+    train_pipeline(root_path)

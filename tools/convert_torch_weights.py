@@ -1,0 +1,322 @@
+#!/usr/bin/env python
+"""Convert the reference's torch checkpoints to this framework's param trees.
+
+Checkpoint families (SURVEY.md §5.4 / reference arch L137-153):
+  * stylegan2   — rosinality StyleGAN2 `g_ema` (stylegan2-ffhq-config-f.pth)
+  * e4e         — e4e_ffhq_encode.pt (state_dict, 'encoder.'-prefixed subset)
+  * irse50      — model_ir_se50.pth (ArcFace ID backbone)
+  * vgg19       — torchvision vgg19 features (perceptual loss)
+  * lpips_alex  — torchvision alexnet features + lpips alex.pth lin weights
+  * stylegan2_d — BasicSR-style StyleGAN2Discriminator (net_d)
+
+Output: flat .npz with '/'-joined param paths matching flax init trees
+(load with run_inversion.py --ckpt or path.pretrain_network_* in YAML).
+
+Layout rules (torch -> jax):
+  conv weight   (O,I,kh,kw)   -> HWIO (kh,kw,I,O)        perm (2,3,1,0)
+  mod-conv      (1,O,I,kh,kw) -> HWIO                     squeeze + same
+  linear weight (O,I)         -> (I,O)                    transpose
+  BatchNorm     weight/bias/running_mean/running_var -> scale/bias/mean/var
+  flatten-linear(O, C*h*w)    -> NCHW-flatten kept; our modules transpose
+                                 NHWC->NCHW before flattening, so no remap.
+
+Usage:
+  python tools/convert_torch_weights.py stylegan2 <pth> <out.npz> [--key g_ema]
+  python tools/convert_torch_weights.py e4e <pt> <out.npz>
+  ...
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x,
+                      dtype=np.float32)
+
+
+def conv_w(x):
+    return np.transpose(_t(x), (2, 3, 1, 0))
+
+
+def modconv_w(x):
+    a = _t(x)
+    if a.ndim == 5:
+        a = a[0]
+    return np.transpose(a, (2, 3, 1, 0))
+
+
+def linear_w(x):
+    return np.transpose(_t(x), (1, 0))
+
+
+def put_bn(out, prefix, sd, key, suffix=""):
+    out[f"{prefix}/scale"] = _t(sd[f"{key}.weight"])
+    out[f"{prefix}/bias"] = _t(sd[f"{key}.bias"])
+    out[f"{prefix}/mean"] = _t(sd[f"{key}.running_mean"])
+    out[f"{prefix}/var"] = _t(sd[f"{key}.running_var"])
+
+
+# ---------------------------------------------------------------- stylegan2
+
+def convert_stylegan2_generator(sd, prefix="generator"):
+    """rosinality Generator state_dict -> our Generator param paths
+    (cf. src/ops/StyleGAN/model.py:375-459 module layout)."""
+    out = {}
+    consumed = set()
+
+    def take(k):
+        consumed.add(k)
+        return sd[k]
+
+    n_mlp = len([k for k in sd if k.startswith("style.") and k.endswith(".weight")])
+    for i in range(1, n_mlp + 1):   # style.0 is PixelNorm (no params)
+        out[f"{prefix}/style_{i - 1}/weight"] = linear_w(take(f"style.{i}.weight"))
+        out[f"{prefix}/style_{i - 1}/bias"] = _t(take(f"style.{i}.bias"))
+
+    out[f"{prefix}/input"] = np.transpose(_t(take("input.input")), (0, 2, 3, 1))
+
+    def styled_conv(dst, src):
+        out[f"{dst}/conv/weight"] = modconv_w(take(f"{src}.conv.weight"))
+        out[f"{dst}/conv/modulation/weight"] = linear_w(
+            take(f"{src}.conv.modulation.weight"))
+        out[f"{dst}/conv/modulation/bias"] = _t(take(f"{src}.conv.modulation.bias"))
+        out[f"{dst}/noise/weight"] = _t(take(f"{src}.noise.weight"))
+        out[f"{dst}/activate/bias"] = _t(take(f"{src}.activate.bias"))
+
+    def to_rgb(dst, src):
+        out[f"{dst}/conv/weight"] = modconv_w(take(f"{src}.conv.weight"))
+        out[f"{dst}/conv/modulation/weight"] = linear_w(
+            take(f"{src}.conv.modulation.weight"))
+        out[f"{dst}/conv/modulation/bias"] = _t(take(f"{src}.conv.modulation.bias"))
+        out[f"{dst}/bias"] = _t(take(f"{src}.bias")).reshape(-1)
+
+    styled_conv(f"{prefix}/conv1", "conv1")
+    to_rgb(f"{prefix}/to_rgb1", "to_rgb1")
+    n_pairs = len([k for k in sd if k.startswith("to_rgbs.")
+                   and k.endswith(".bias") and ".modulation" not in k
+                   and ".conv." not in k])
+    for i in range(2 * n_pairs):
+        styled_conv(f"{prefix}/convs_{i}", f"convs.{i}")
+    for i in range(n_pairs):
+        to_rgb(f"{prefix}/to_rgbs_{i}", f"to_rgbs.{i}")
+
+    leftovers = [k for k in sd if k not in consumed
+                 and not k.startswith("noises.")]
+    return out, leftovers
+
+
+# ------------------------------------------------------------------- IR-SE
+
+def convert_irse_trunk(sd, prefix, src_prefix="", n_body=24, se=True):
+    """input_layer + body.{i} of an IR(-SE) net -> IRSETrunk paths."""
+    out = {}
+    consumed = set()
+
+    def take(k):
+        consumed.add(src_prefix + k)
+        return sd[src_prefix + k]
+
+    def has(k):
+        return (src_prefix + k) in sd
+
+    out[f"{prefix}/input_conv/weight"] = conv_w(take("input_layer.0.weight"))
+    put_bn(out, f"{prefix}/input_norm/norm", sd, f"{src_prefix}input_layer.1")
+    consumed.update(f"{src_prefix}input_layer.1.{s}" for s in
+                    ("weight", "bias", "running_mean", "running_var"))
+    out[f"{prefix}/input_prelu/weight"] = _t(take("input_layer.2.weight"))
+
+    for i in range(n_body):
+        b = f"body.{i}"
+        d = f"{prefix}/body_{i}"
+        if has(f"{b}.shortcut_layer.0.weight"):
+            out[f"{d}/shortcut_conv/weight"] = conv_w(
+                take(f"{b}.shortcut_layer.0.weight"))
+            if has(f"{b}.shortcut_layer.0.bias"):
+                out[f"{d}/shortcut_conv/bias"] = _t(
+                    take(f"{b}.shortcut_layer.0.bias"))
+            put_bn(out, f"{d}/shortcut_norm/norm", sd,
+                   f"{src_prefix}{b}.shortcut_layer.1")
+            consumed.update(f"{src_prefix}{b}.shortcut_layer.1.{s}" for s in
+                            ("weight", "bias", "running_mean", "running_var"))
+        put_bn(out, f"{d}/norm1/norm", sd, f"{src_prefix}{b}.res_layer.0")
+        consumed.update(f"{src_prefix}{b}.res_layer.0.{s}" for s in
+                        ("weight", "bias", "running_mean", "running_var"))
+        out[f"{d}/conv1/weight"] = conv_w(take(f"{b}.res_layer.1.weight"))
+        out[f"{d}/prelu/weight"] = _t(take(f"{b}.res_layer.2.weight"))
+        out[f"{d}/conv2/weight"] = conv_w(take(f"{b}.res_layer.3.weight"))
+        put_bn(out, f"{d}/norm2/norm", sd, f"{src_prefix}{b}.res_layer.4")
+        consumed.update(f"{src_prefix}{b}.res_layer.4.{s}" for s in
+                        ("weight", "bias", "running_mean", "running_var"))
+        if se and has(f"{b}.res_layer.5.fc1.weight"):
+            out[f"{d}/se/fc1/weight"] = conv_w(take(f"{b}.res_layer.5.fc1.weight"))
+            out[f"{d}/se/fc2/weight"] = conv_w(take(f"{b}.res_layer.5.fc2.weight"))
+    return out, consumed
+
+
+def convert_e4e_encoder(sd, prefix="encoder"):
+    """e4e_ffhq_encode.pt state_dict (keys may carry 'encoder.' prefix) ->
+    Encoder4Editing paths."""
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    out, consumed = convert_irse_trunk(sd, f"{prefix}/trunk", n_body=24, se=True)
+
+    style_ids = sorted({int(k.split(".")[1]) for k in sd
+                        if k.startswith("styles.")})
+    for i in style_ids:
+        conv_keys = sorted(
+            (int(k.split(".")[3]) for k in sd
+             if k.startswith(f"styles.{i}.convs.") and k.endswith(".weight")))
+        for j, torch_idx in enumerate(conv_keys):
+            out[f"{prefix}/style_{i}/conv_{j}/weight"] = conv_w(
+                sd[f"styles.{i}.convs.{torch_idx}.weight"])
+            out[f"{prefix}/style_{i}/conv_{j}/bias"] = _t(
+                sd[f"styles.{i}.convs.{torch_idx}.bias"])
+            consumed.update({f"styles.{i}.convs.{torch_idx}.weight",
+                             f"styles.{i}.convs.{torch_idx}.bias"})
+        out[f"{prefix}/style_{i}/linear/weight"] = linear_w(
+            sd[f"styles.{i}.linear.weight"])
+        out[f"{prefix}/style_{i}/linear/bias"] = _t(sd[f"styles.{i}.linear.bias"])
+        consumed.update({f"styles.{i}.linear.weight", f"styles.{i}.linear.bias"})
+
+    for lat in ("latlayer1", "latlayer2"):
+        out[f"{prefix}/{lat}/weight"] = conv_w(sd[f"{lat}.weight"])
+        out[f"{prefix}/{lat}/bias"] = _t(sd[f"{lat}.bias"])
+        consumed.update({f"{lat}.weight", f"{lat}.bias"})
+
+    leftovers = [k for k in sd if k not in consumed]
+    return out, leftovers
+
+
+def convert_irse50_backbone(sd, prefix=""):
+    """face_id model_ir_se50.pth -> ArcFaceBackbone paths."""
+    p = (prefix + "/") if prefix else ""
+    out, consumed = convert_irse_trunk(sd, f"{p}trunk", n_body=24, se=True)
+    put_bn(out, f"{p}out_norm", sd, "output_layer.0")
+    out[f"{p}linear_weight"] = linear_w(sd["output_layer.3.weight"])
+    out[f"{p}linear_bias"] = _t(sd["output_layer.3.bias"])
+    put_bn(out, f"{p}out_norm1d", sd, "output_layer.4")
+    if "output_layer.4.weight" not in sd:   # affine=False BN1d
+        n = sd["output_layer.4.running_mean"].shape[0]
+        out[f"{p}out_norm1d/scale"] = np.ones((n,), np.float32)
+        out[f"{p}out_norm1d/bias"] = np.zeros((n,), np.float32)
+    consumed.update(k for k in sd if k.startswith("output_layer."))
+    leftovers = [k for k in sd if k not in consumed]
+    return out, leftovers
+
+
+# ------------------------------------------------------------------ others
+
+VGG19_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+VGG19_CONV_NAMES = ["conv1_1", "conv1_2", "conv2_1", "conv2_2",
+                    "conv3_1", "conv3_2", "conv3_3", "conv3_4",
+                    "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+                    "conv5_1", "conv5_2", "conv5_3", "conv5_4"]
+
+
+def convert_vgg19(sd, prefix=""):
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    for idx, name in zip(VGG19_CONV_IDX, VGG19_CONV_NAMES):
+        key = f"features.{idx}.weight"
+        if key not in sd:
+            continue
+        out[f"{p}{name}/weight"] = conv_w(sd[key])
+        out[f"{p}{name}/bias"] = _t(sd[f"features.{idx}.bias"])
+    return out, []
+
+
+ALEX_CONV_IDX = [0, 3, 6, 8, 10]
+
+
+def convert_lpips_alex(alexnet_sd, lpips_sd, prefix=""):
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    for i, idx in enumerate(ALEX_CONV_IDX):
+        out[f"{p}net/conv{i}/weight"] = conv_w(alexnet_sd[f"features.{idx}.weight"])
+        out[f"{p}net/conv{i}/bias"] = _t(alexnet_sd[f"features.{idx}.bias"])
+    for i in range(5):
+        w = lpips_sd.get(f"lin{i}.model.1.weight",
+                         lpips_sd.get(f"lins.{i}.model.1.weight"))
+        out[f"{p}lin{i}"] = _t(w).reshape(-1)
+    return out, []
+
+
+def convert_stylegan2_discriminator(sd, prefix="d"):
+    """BasicSR StyleGAN2Discriminator (stylegan2_arch.py:766-836) -> our
+    Discriminator. BasicSR ConvLayer = [UpFirDnSmooth?, EqualConv2d(+bias),
+    ScaledLeakyReLU?] flattened as Sequential; bias lives on the conv, our
+    activated layers keep bias in the FusedLeakyReLU."""
+    out = {}
+    n_res = len({k.split(".")[1] for k in sd if k.startswith("conv_body.")}) - 1
+
+    def conv_layer(dst, src, activated=True, has_blur=False):
+        ci = 1 if has_blur else 0
+        out[f"{dst}/conv/weight"] = modconv_w(sd[f"{src}.{ci}.weight"])
+        bias_key = f"{src}.{ci}.bias"
+        if bias_key in sd:
+            if activated:
+                out[f"{dst}/act/bias"] = _t(sd[bias_key])
+            else:
+                out[f"{dst}/conv/bias"] = _t(sd[bias_key])
+
+    # conv_body.0: ConvLayer(3, ch, 1)
+    conv_layer(f"{prefix}/conv0", "conv_body.0")
+    log = 0
+    for i in range(1, n_res + 1):
+        # ResBlock: conv1 (ConvLayer), conv2 (down, blur first), skip (down)
+        src = f"conv_body.{i}"
+        dst = f"{prefix}/res_{int(np.log2(1024)) - i + 1}"
+        conv_layer(f"{dst}/conv1", f"{src}.conv1")
+        conv_layer(f"{dst}/conv2", f"{src}.conv2", has_blur=True)
+        conv_layer(f"{dst}/skip", f"{src}.skip", activated=False, has_blur=True)
+    conv_layer(f"{prefix}/final_conv", "final_conv")
+    out[f"{prefix}/final_linear0/weight"] = linear_w(sd["final_linear.0.weight"])
+    out[f"{prefix}/final_linear0/bias"] = _t(sd["final_linear.0.bias"])
+    out[f"{prefix}/final_linear1/weight"] = linear_w(sd["final_linear.1.weight"])
+    out[f"{prefix}/final_linear1/bias"] = _t(sd["final_linear.1.bias"])
+    return out, []
+
+
+CONVERTERS = {
+    "stylegan2": lambda sd: convert_stylegan2_generator(sd),
+    "e4e": lambda sd: convert_e4e_encoder(sd),
+    "irse50": lambda sd: convert_irse50_backbone(sd),
+    "vgg19": lambda sd: convert_vgg19(sd),
+    "stylegan2_d": lambda sd: convert_stylegan2_discriminator(sd),
+}
+
+
+def main():
+    import torch
+    ap = argparse.ArgumentParser()
+    ap.add_argument("family", choices=list(CONVERTERS) + ["lpips_alex"])
+    ap.add_argument("pth")
+    ap.add_argument("out")
+    ap.add_argument("--key", default=None, help="sub-dict key, e.g. g_ema")
+    ap.add_argument("--lpips_pth", default=None)
+    args = ap.parse_args()
+
+    sd = torch.load(args.pth, map_location="cpu", weights_only=True)
+    if args.key:
+        sd = sd[args.key]
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+
+    if args.family == "lpips_alex":
+        lp = torch.load(args.lpips_pth, map_location="cpu", weights_only=True)
+        out, leftovers = convert_lpips_alex(sd, lp)
+    else:
+        out, leftovers = CONVERTERS[args.family](sd)
+    if leftovers:
+        print(f"WARNING: {len(leftovers)} unconsumed keys, e.g. "
+              f"{leftovers[:5]}", file=sys.stderr)
+    np.savez(args.out, **out)
+    print(f"wrote {len(out)} arrays to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
