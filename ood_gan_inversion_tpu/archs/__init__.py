@@ -2,6 +2,8 @@
 
 from ..utils.registry import ARCH_REGISTRY
 from .ood_e4e import OODFaceGANE4E
+from .ood_restyle import OODFaceGANReStyle
+from .ood_featurestyle import OODFaceGANFeatureStyle
 from .discriminators import StyleGAN2DiscriminatorMod, LatentDiscriminator
 
 

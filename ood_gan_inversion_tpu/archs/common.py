@@ -1,0 +1,98 @@
+"""Shared SAMM-conditioned decode loop + mask compositing for the three
+encoder-family archs (the reference duplicates this across
+OOD_faceGAN_{e4e,restyle,featureStyle}_arch.py; here it is one function).
+
+`arch` must be a flax module with submodules .generator (nn.Generator) and
+.modulation (list of 4 StyledScaleNShiftBlock, coarse[256px]->fine order is
+index 0..3 = [256,128,64,32]px as in the reference ModuleList)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+
+
+def cond_layers_for(mod_size: int, n_feats: int = 4):
+    """Generator layers receiving SAMM injection
+    (reference feats2condition + cond_ind, OOD_faceGAN_e4e_arch.py:214-222,
+    293): 32px->5, 64px->7, 128px->9, 256px->11."""
+    if mod_size <= 0:
+        return []
+    max_size = int(math.floor(math.log2(mod_size)))
+    cond_len = min(max(1 + max_size - 5, 0), n_feats)
+    return [(2 * (k + 2)) + 1 for k in range(cond_len)]
+
+
+def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
+                       feature_scale: float = 1.0):
+    """SAMM-conditioned StyleGAN2 decode. feats_c: 4 adapted encoder features
+    [256px, 128px, 64px, 32px]-res order (i.e. self.feats in the reference).
+    features_in: optional {layer_idx: tensor} content injection
+    (FeatureStyle; reference model.py:541-546). Returns (image, aligns)."""
+    gen = arch.generator
+    b = lats.shape[0]
+    cond_layers = cond_layers_for(mod_size)
+
+    def insert(out, layer_idx):
+        if features_in is not None and features_in.get(layer_idx) is not None:
+            f = features_in[layer_idx].astype(out.dtype)
+            return (1.0 - feature_scale) * out + feature_scale * f
+        return out
+
+    out = gen.const_input(b, lats.dtype)
+    out = gen.conv1(out, lats[:, 0])
+    skip = gen.to_rgb1(out, lats[:, 1])
+
+    aligns = {}
+    prev_align = None
+    i = 1
+    for idx in range(len(gen.to_rgbs)):
+        conv_a = gen.convs[2 * idx]
+        conv_b = gen.convs[2 * idx + 1]
+        out = insert(out, i)
+        if i in cond_layers:
+            ind = cond_layers.index(i) + 1            # 1..4, 1 = 32px
+            out_c = conv_a.conv(out, lats[:, i])      # modulated upsample
+            feat = feats_c[4 - ind]                   # feats[-ind]
+            mod = arch.modulation[4 - ind]            # modulation[-ind]
+            aligned_feat, align = mod(feat, lats[:, i], out_c,
+                                      aligned_coarse=prev_align)
+            out = conv_a.noise(aligned_feat)          # aligned + w*n
+            out = conv_a.activate(out)
+            aligns[ind] = align
+            prev_align = align
+        else:
+            out = conv_a(out, lats[:, i])
+        out = insert(out, i + 1)
+        out = conv_b(out, lats[:, i + 1])
+        skip = gen.to_rgbs[idx](out, lats[:, i + 2], skip)
+        i += 2
+    return skip, aligns
+
+
+def blending_mask(aligns, out_size: int):
+    """Composite per-scale alphas to the full-res OOD mask (arch L315-339)."""
+    size = (out_size, out_size)
+    alpha = None
+    for k in sorted(k for k in aligns if isinstance(k, int) and k <= 4):
+        a_k = resize_bilinear(aligns[k][..., 2:3], size)
+        if alpha is None:
+            alpha = a_k
+        else:
+            alpha = (a_k * alpha) + (alpha * (1.0 - alpha))
+    return jnp.clip(alpha, 0.0, 1.0) if alpha is not None else None
+
+
+def blend_and_pack(arch, x, gen_image, lats, aligns):
+    """Blend OOD pixels over the inversion and pack the output dict."""
+    image = gen_image
+    mask = None
+    if arch.blend_with_gen and aligns:
+        mask = blending_mask(aligns, arch.out_size)
+        aligns[arch.out_size] = jnp.tile(mask, (1, 1, 1, 3))
+        for _ in range(arch.blend_cnt):
+            image = mask * jax.lax.stop_gradient(x) + image * (1.0 - mask)
+    return {"image": image, "lats": lats, "aligns": aligns, "mask": mask,
+            "gen_image": gen_image}

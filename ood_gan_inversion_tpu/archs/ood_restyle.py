@@ -1,21 +1,14 @@
-"""OOD face-GAN inversion arch, E4E encoder family.
+"""OOD face-GAN inversion arch, ReStyle encoder family.
 
-Reference: src/archs/OOD_faceGAN_e4e_arch.py:28-347. The full pipeline —
-encode -> W+ latent math -> SAMM-conditioned StyleGAN2 decode -> mask
-composite -> OOD blend — is ONE pure jitted function here. The reference's
-NoiseInjection-callback protocol with module-held `self.aligns`
-(arch L224-242, model.py:283-292) becomes an explicit decode loop over the
-generator's submodules with the aligns pyramid threaded as values.
-
-Callback algebra: the reference injects condition=(aligned-image+n*w)/w into
-image + w*condition == aligned + w*n; we compute that directly.
-
-Progressive ModSize is a static argument: each of the <=4 curriculum stages
-is its own compiled program (cheap; shapes are static inside each stage).
-"""
+Reference: src/archs/OOD_faceGAN_restyle_arch.py:30-372. Differences from the
+E4E arch: (a) the encoder takes 6 channels [x || previous decode], iterated
+`enc_cycle` times starting from the average image, all under stop_gradient
+(reference runs the loop in no_grad, L304-325); (b) avg_latent is per-layer
+(style_cnt, style_dim). The refinement loop is a static Python loop
+(enc_cycle is a config constant), so the whole forward stays one program."""
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,24 +16,23 @@ import flax.linen as nn
 
 from ..utils.registry import ARCH_REGISTRY
 from ..nn.stylegan2 import Generator, STYLEGAN2_CHANNELS
-from ..nn.encoders.e4e import Encoder4Editing, PROGRESSIVE_INFERENCE
+from ..nn.encoders.restyle import ProgressiveBackboneEncoder
+from ..nn.encoders.e4e import PROGRESSIVE_INFERENCE
 from ..nn.samm import StyledScaleNShiftBlock
 from ..nn.layers import Conv2dTorch
-from ..ops.resize import resize_bilinear
+from ..ops.resize import adaptive_avg_pool
 from .common import cond_layers_for, conditioned_decode, blend_and_pack
 
 
-@ARCH_REGISTRY.register(name="ood_faceGAN_e4e")
-class OODFaceGANE4E(nn.Module):
-    """Constructor keys mirror the reference YAML `network_g` schema
-    (options/train/E4E_Face.yml:50-71); checkpoint-path keys are consumed by
-    the model layer (weights enter through the converter), not here."""
+@ARCH_REGISTRY.register(name="ood_faceGAN_restyle")
+class OODFaceGANReStyle(nn.Module):
     out_size: int = 1024
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
     narrow: float = 1.0
-    encoder: str = "E4E"
+    encoder: str = "ReStyle"
+    enc_cycle: int = 2
     enable_modulation: bool = True
     modulation_type: str = "NOISE"
     warp_scale: float = 0.02
@@ -56,18 +48,15 @@ class OODFaceGANE4E(nn.Module):
     def setup(self):
         self.style_cnt = int(math.log2(self.out_size)) * 2 - 2
         channels = STYLEGAN2_CHANNELS(self.channel_multiplier, self.narrow)
-        self.enc = Encoder4Editing(num_layers=50, mode="ir_se",
-                                   stylegan_size=self.out_size, bn=True,
-                                   name="encoder")
+        self.enc = ProgressiveBackboneEncoder(
+            num_layers=50, mode="ir_se", n_styles=self.style_cnt,
+            input_nc=6, name="encoder")
         if self.enable_modulation:
-            # 1x1 adapters encoder-channels -> generator-channels at
-            # 256/128/64/32 px (arch L70-75)
             feat_sizes = [256, 128, 64, 32]
             enc_channels = [64, 64, 128, 256]
             self.feats_conv = [
                 Conv2dTorch(channels[feat_sizes[i]], 1, 1, 0,
                             name=f"feats_conv_{i}") for i in range(4)]
-            # SAMM blocks, coarse->fine order [256,128,64,32] (arch L108-116)
             chn_mul = 2 if self.modulation_type == "SFT" else 1
             self.modulation = [
                 StyledScaleNShiftBlock(
@@ -80,45 +69,44 @@ class OODFaceGANE4E(nn.Module):
                                    n_mlp=self.n_mlp,
                                    channel_multiplier=self.channel_multiplier,
                                    dtype=self.dtype)
+        # per-layer average latent (reference restyle arch L66: (18, 512))
         self.avg_latent = self.param("avg_latent", nn.initializers.zeros,
-                                     (1, self.style_dim))
-        if self.optim_delta_latent:
-            self.delta_latent = self.param(
-                "delta_latent",
-                lambda k, s: jax.random.normal(k, s) * 0.1,
-                (1, self.style_cnt, self.style_dim))
-        else:
-            self.delta_latent = self.param(
-                "delta_latent", nn.initializers.zeros,
-                (1, self.style_cnt, self.style_dim))
+                                     (self.style_cnt, self.style_dim))
+        init = ((lambda k, s: jax.random.normal(k, s) * 0.1)
+                if self.optim_delta_latent else nn.initializers.zeros)
+        self.delta_latent = self.param("delta_latent", init,
+                                       (1, self.style_cnt, self.style_dim))
 
-    # ---------------------------------------------------------------- utils
     def random_latents(self, z):
-        """z -> W -> repeat to W+ (arch random_gen, L194-202)."""
         w = self.generator.style_mlp(z)
         return jnp.tile(w[:, None, :], (1, self.style_cnt, 1))
 
-    def decode(self, lats, noise=None):
-        """Plain decode (no SAMM)."""
-        return self.generator(lats, noise=noise)
-
-    # ---------------------------------------------------------------- forward
     def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
                  stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
-        """x: (B, H, W, 3) in [-1, 1]. Returns dict(image, lats, aligns, mask,
-        gen_image). aligns maps SAMM index (1=32px .. 4=256px) to
-        (B, h, w, 3) [dx, dy, alpha] plus key 1024 -> composited 3ch mask."""
         b = x.shape[0]
         x = x.astype(self.dtype)   # compute dtype follows the input from here
-        x256 = resize_bilinear(x, (256, 256))
-        lats, feats = self.enc(x256, stage=stage)
+        x256 = adaptive_avg_pool(x, (256, 256))   # reference face_pool L88
+
+        # average image from avg_latent (L304-306)
+        avg_img = self.generator(self.avg_latent[None].astype(x.dtype))
+        avg_img = adaptive_avg_pool(avg_img, (256, 256))
+        avg_img = jnp.tile(avg_img, (b, 1, 1, 1))
+
+        # iterative encode-decode refinement (no_grad in the reference)
+        lats, feats = self.enc(jnp.concatenate([x256, avg_img], axis=-1),
+                               stage=stage)
+        lats = lats + self.avg_latent[None].astype(lats.dtype)
+        for _ in range(self.enc_cycle - 1):
+            new_x = self.generator(jax.lax.stop_gradient(lats))
+            new_x = adaptive_avg_pool(new_x, (256, 256))
+            delta, feats = self.enc(
+                jnp.concatenate([x256, new_x], axis=-1), stage=stage)
+            lats = lats + delta
         if freeze_encoder:
-            # reference runs the encoder under no_grad + eval (arch L256-258)
             lats = jax.lax.stop_gradient(lats)
             feats = [jax.lax.stop_gradient(f) for f in feats]
 
-        lats = (lats + self.avg_latent[None].astype(lats.dtype)
-                + self.delta_latent.astype(lats.dtype))
+        lats = lats + self.delta_latent.astype(lats.dtype)
         if truncation < 1.0:
             lats = (self.avg_latent[None].astype(lats.dtype) * (1.0 - truncation)
                     + lats * truncation)

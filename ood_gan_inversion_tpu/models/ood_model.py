@@ -260,7 +260,21 @@ class OODFaceGANModel:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_shape) -> TrainState:
-        """Initialize all parameters and optimizer states."""
+        """Initialize all parameters and optimizer states.
+
+        Runs on the CPU backend when available: on this TPU stack a remote
+        compile of the giant init program costs minutes, while CPU init is
+        seconds; the train step then transfers the pytree once."""
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self._init_state_impl(rng, sample_shape)
+        return self._init_state_impl(rng, sample_shape)
+
+    def _init_state_impl(self, rng, sample_shape) -> TrainState:
         k_g, k_d, k_d2, k_vgg, k_id, k_noise = jax.random.split(rng, 6)
         x = jnp.zeros(sample_shape, jnp.float32)
         mod = max(self.progressive_mod_size) if self.progressive_mod_size else 0

@@ -72,11 +72,11 @@ class EqualLinear(nn.Module):
         b = (self.param("bias", nn.initializers.constant(self.bias_init),
                         (self.out_dim,)) if self.use_bias else None)
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
-        y = x.astype(self.dtype) @ (w * scale).astype(self.dtype)
+        y = x @ (w * scale).astype(x.dtype)
         if self.activation == "fused_lrelu":
             y = fused_leaky_relu(y, None if b is None else b * self.lr_mul)
         elif b is not None:
-            y = y + (b * self.lr_mul).astype(self.dtype)
+            y = y + (b * self.lr_mul).astype(y.dtype)
         return y
 
 
@@ -96,8 +96,8 @@ class EqualConv2d(nn.Module):
                        (self.kernel_size, self.kernel_size, cin, self.out_ch))
         b = (self.param("bias", nn.initializers.zeros, (self.out_ch,))
              if self.use_bias else None)
-        return equal_conv2d(x.astype(self.dtype), w.astype(self.dtype),
-                            None if b is None else b.astype(self.dtype),
+        return equal_conv2d(x, w.astype(x.dtype),
+                            None if b is None else b.astype(x.dtype),
                             stride=self.stride, padding=self.padding)
 
 
@@ -119,12 +119,12 @@ class Conv2dTorch(nn.Module):
         b = (self.param("bias", torch_bias_init(self.kernel_size ** 2 * cin),
                         (self.out_ch,)) if self.use_bias else None)
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
+            x, w.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if b is not None:
-            y = y + b.astype(self.dtype).reshape(1, 1, 1, -1)
+            y = y + b.astype(y.dtype).reshape(1, 1, 1, -1)
         return y
 
 
@@ -163,8 +163,9 @@ class BatchNorm2dEval(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         mean = self.param("mean", nn.initializers.zeros, (self.channels,))
         var = self.param("var", nn.initializers.ones, (self.channels,))
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        inv = (jax.lax.rsqrt(var.astype(jnp.float32) + self.eps) *
+               scale.astype(jnp.float32))
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
 
 
 class BatchNorm1dEval(BatchNorm2dEval):
@@ -180,13 +181,14 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.channels,))
             bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-            y = y * scale + bias
+            y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
         return y
 
 

@@ -51,13 +51,13 @@ class _XavierConv(Conv2dTorch):
         w = self.param("weight", xavier_normal_init,
                        (self.kernel_size, self.kernel_size, cin, self.out_ch))
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
+            x, w.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            y = y + b.astype(self.dtype).reshape(1, 1, 1, -1)
+            y = y + b.astype(y.dtype).reshape(1, 1, 1, -1)
         return y
 
 
@@ -137,8 +137,8 @@ class SPMWarp(nn.Module):
         """source: encoder feature; target: generator feature (both NHWC).
         Returns (aligned_target, align[dx,dy,alpha])."""
         h, w = source.shape[1], source.shape[2]
-        lin_y = jnp.linspace(-1.0, 1.0, h)
-        lin_x = jnp.linspace(-1.0, 1.0, w)
+        lin_y = jnp.linspace(-1.0, 1.0, h, dtype=source.dtype)
+        lin_x = jnp.linspace(-1.0, 1.0, w, dtype=source.dtype)
         base_x = jnp.broadcast_to(lin_x[None, :], (h, w))
         base_y = jnp.broadcast_to(lin_y[:, None], (h, w))
 

@@ -67,7 +67,7 @@ class ModulatedConv2d(nn.Module):
 
     def __call__(self, x, style):
         s = self.modulation(style)                       # (B, in_ch)
-        return modulated_conv2d(x.astype(self.dtype), self.weight, s,
+        return modulated_conv2d(x, self.weight, s,
                                 demodulate=self.demodulate,
                                 upsample=self.upsample,
                                 downsample=self.downsample,
@@ -136,7 +136,8 @@ class ToRGB(nn.Module):
         self._kernel = make_kernel(self.blur_kernel)
 
     def __call__(self, x, style, skip=None):
-        out = self.conv(x, style) + self.bias.astype(self.dtype)
+        out = self.conv(x, style)
+        out = out + self.bias.astype(out.dtype)
         if skip is not None:
             skip = upsample2x(skip, self._kernel.astype(skip.dtype))
             out = out + skip
@@ -193,7 +194,7 @@ class Generator(nn.Module):
 
     def style_mlp(self, z):
         """W = MLP(pixel_norm(z)) (model.py:391-400)."""
-        w = pixel_norm(z.astype(self.dtype))
+        w = pixel_norm(z)
         for layer in self.style:
             w = layer(w)
         return w
@@ -204,14 +205,15 @@ class Generator(nn.Module):
         self.style_mlp(latent[:, 0, :])
         return self(latent)
 
-    def const_input(self, batch: int):
-        return jnp.tile(self.input.astype(self.dtype), (batch, 1, 1, 1))
+    def const_input(self, batch: int, dtype=None):
+        w = self.input if dtype is None else self.input.astype(dtype)
+        return jnp.tile(w, (batch, 1, 1, 1))
 
     def __call__(self, latent, noise=None):
         """Plain (unconditioned) decode of W+ (B, n_latent, style_dim)."""
         if noise is None:
             noise = [None] * self.num_layers
-        out = self.const_input(latent.shape[0])
+        out = self.const_input(latent.shape[0], latent.dtype)
         out = self.conv1(out, latent[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latent[:, 1])
         i = 1
@@ -243,7 +245,7 @@ class Discriminator(nn.Module):
         log_size = int(math.log2(self.size))
         features = []
         out = ConvLayer(channels[self.size], 1, dtype=self.dtype,
-                        name="conv0")(x.astype(self.dtype))
+                        name="conv0")(x)
         for i in range(log_size, 2, -1):
             out = ResBlock(channels[2 ** (i - 1)], self.blur_kernel,
                            dtype=self.dtype, name=f"res_{i}")(out)

@@ -82,15 +82,20 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style_scale: jnp.ndarr
     """
     kh, kw, cin, cout = weight.shape
     scale = 1.0 / math.sqrt(cin * kh * kw)
-    w = (weight * scale).astype(x.dtype)
-    s = style_scale.astype(x.dtype)
 
     if demodulate:
-        # d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_k w[k,i,o]^2 + 1e-8 )
-        w2 = jnp.sum(jnp.square(w), axis=(0, 1))            # (Cin, Cout)
-        d = lax.rsqrt(jnp.square(s) @ w2 + 1e-8)            # (N, Cout)
+        # d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_k w[k,i,o]^2 + 1e-8 ),
+        # computed in fp32 regardless of the compute dtype (the 1e-8 eps and
+        # the squared sums underflow in bf16)
+        w32 = (weight * scale).astype(jnp.float32)
+        s32 = style_scale.astype(jnp.float32)
+        w2 = jnp.sum(jnp.square(w32), axis=(0, 1))          # (Cin, Cout)
+        d = lax.rsqrt(jnp.square(s32) @ w2 + 1e-8).astype(x.dtype)  # (N, Cout)
     else:
         d = None
+
+    w = (weight * scale).astype(x.dtype)
+    s = style_scale.astype(x.dtype)
 
     xm = x * s[:, None, None, :]
 

@@ -7,6 +7,12 @@ python run_inversion.py --opt options/test/E4E_Face_test.yml \
     [--direction smile --intensity 1.5]
 """
 
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "axon":
+    # keep the TPU default but make the CPU backend available for fast
+    # host-side param init (see models/ood_model.py init_state)
+    _os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
 import argparse
 import os.path as osp
 

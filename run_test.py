@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Test CLI: python run_test.py --opt <yml>"""
 
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "axon":
+    # keep the TPU default but make the CPU backend available for fast
+    # host-side param init (see models/ood_model.py init_state)
+    _os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
 import os.path as osp
 
 from ood_gan_inversion_tpu.test import test_pipeline
