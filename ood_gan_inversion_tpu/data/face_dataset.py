@@ -21,6 +21,7 @@ import numpy as np
 from ..utils.registry import DATASET_REGISTRY
 from ..utils.img_util import imread
 from ..utils.logger import get_root_logger
+from .file_client import FileClient
 
 IMG_EXTS = (".png", ".jpg", ".jpeg")
 
@@ -65,15 +66,29 @@ class FaceDataset:
         self.std = np.asarray(opt.get("std", [0.5, 0.5, 0.5]), np.float32)
         self.rng = random.Random(opt.get("random_seed", None))
 
-        folders = opt.get("dataroot_gt_list") or [opt["dataroot_gt"]]
-        folders = [osp.expanduser(f) for f in folders]
+        io = opt.get("io_backend", {"type": "disk"}) or {"type": "disk"}
+        self.io_type = io.get("type", "disk")
         sl = opt.get("slice", [0, None])
-        self.gt_paths = []
-        for f in folders:
-            self.gt_paths.extend(_scan_folder(f, self.mode))
-        self.gt_paths = self.gt_paths[sl[0]:sl[1]]
+        if self.io_type == "packed":
+            # dataroot_gt is an .ogipack file; keys are image names
+            self.client = FileClient("packed", db_path=opt["dataroot_gt"],
+                                     native=io.get("native", True))
+            names = self.client.backend.keys()
+            try:
+                names.sort(key=lambda x: int(osp.splitext(x)[0]))
+            except ValueError:
+                names.sort()
+            self.gt_paths = names[sl[0]:sl[1]]
+        else:
+            self.client = None
+            folders = opt.get("dataroot_gt_list") or [opt["dataroot_gt"]]
+            folders = [osp.expanduser(f) for f in folders]
+            self.gt_paths = []
+            for f in folders:
+                self.gt_paths.extend(_scan_folder(f, self.mode))
+            self.gt_paths = self.gt_paths[sl[0]:sl[1]]
         if not self.gt_paths:
-            raise ValueError(f"No images found under {folders}")
+            raise ValueError("No images found for dataset")
 
     def __len__(self):
         return len(self.gt_paths)
@@ -101,7 +116,14 @@ class FaceDataset:
         return [osp.join(p, names[j]) for j in sample]
 
     def _load(self, path):
-        img = imread(path, float32=True)
+        if self.client is not None:
+            buf = np.frombuffer(self.client.get(path), np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"Failed to decode packed image: {path}")
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        else:
+            img = imread(path, float32=True)
         if self.pad_to_square:
             img = pad_square(img)
         if self.gt_size is not None and img.shape[:2] != (self.gt_size, self.gt_size):

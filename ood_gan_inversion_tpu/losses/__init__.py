@@ -7,6 +7,8 @@ from .basic import MSELoss, L1Loss
 from .mask_loss import MaskLoss
 from .perceptual import PerceptualLoss
 from .id_loss import IDLoss
+from .extra import (WeightedTVLoss, MultiScaleGANLoss, GANFeatLoss,
+                    gradient_penalty_loss)
 
 
 def build_loss(opt: dict):

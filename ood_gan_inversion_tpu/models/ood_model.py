@@ -205,25 +205,34 @@ class OODFaceGANModel:
 
     # ------------------------------------------------------------------
     def _build_optimizers(self, train_opt):
+        from .optim import make_optimizer, cosine_annealing_restart_lr
+
         og = train_opt.get("optim_g", {"lr": 2e-5})
         od = train_opt.get("optim_d", {"lr": 2e-5})
         od2 = train_opt.get("optim_d2", {"lr": 2e-6})
         sched = train_opt.get("scheduler", {}) or {}
+        sched_type = sched.get("type", "MultiStepLR")
         milestones = sched.get("milestones", None)
         gamma = sched.get("gamma", 1.0)
 
+        def lr_schedule(base_lr):
+            if sched_type == "CosineAnnealingRestartLR":
+                return cosine_annealing_restart_lr(
+                    base_lr, sched.get("periods", [250000]),
+                    sched.get("restart_weights"), sched.get("eta_min", 0.0))
+            # MultiStepLR / MultiStepRestartLR
+            return multistep_lr(base_lr, milestones, gamma)
+
         reg_ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
         betas = (0.0 ** reg_ratio, 0.99 ** reg_ratio)
+        g_type = og.get("type", "Adam")
 
         lr_g = og.get("lr", 2e-5)
         gen_decay = og.get("generator_lr_decay", 0.1)
         overfit_decay = og.get("overfit_lr_decay", 1.0)
 
         def adam(lr_base):
-            return optax.chain(
-                optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8),
-                optax.scale_by_schedule(
-                    lambda s, lr=lr_base: -multistep_lr(lr, milestones, gamma)(s)))
+            return make_optimizer(g_type, lr_schedule(lr_base), betas=betas)
 
         def label_fn(train_params):
             flat = traverse_util.flatten_dict(train_params, sep="/")
@@ -248,15 +257,14 @@ class OODFaceGANModel:
         d_reg_ratio = self.net_d_reg_every / (self.net_d_reg_every + 1)
         d_betas = (0.0 ** d_reg_ratio, 0.99 ** d_reg_ratio)
 
-        def d_adam(lr_base):
+        def d_adam(lr_base, which):
             return optax.chain(
                 optax.clip_by_global_norm(self.grad_clip_norm),
-                optax.scale_by_adam(b1=d_betas[0], b2=d_betas[1], eps=1e-8),
-                optax.scale_by_schedule(
-                    lambda s, lr=lr_base: -multistep_lr(lr, milestones, gamma)(s)))
+                make_optimizer(which.get("type", "Adam"),
+                               lr_schedule(lr_base), betas=d_betas))
 
-        self.tx_d = lambda: d_adam(od.get("lr", 2e-5))
-        self.tx_d2 = lambda: d_adam(od2.get("lr", 2e-6))
+        self.tx_d = lambda: d_adam(od.get("lr", 2e-5), od)
+        self.tx_d2 = lambda: d_adam(od2.get("lr", 2e-6), od2)
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_shape) -> TrainState:

@@ -100,3 +100,33 @@ def test_build_loss_registry():
     assert isinstance(l, MSELoss)
     v = float(l(jnp.ones((2, 2)), jnp.zeros((2, 2))))
     np.testing.assert_allclose(v, 2.0)
+
+
+def test_ranger_and_cosine_schedule():
+    import optax
+    from ood_gan_inversion_tpu.models.optim import (
+        ranger, make_optimizer, cosine_annealing_restart_lr)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = ranger(1e-2, k=2)
+    state = tx.init(params)
+    p = params
+    for i in range(4):
+        # NOTE: constant grads are zeroed by gradient centralization (a
+        # faithful Ranger behavior) -- use non-constant grads
+        grads = {"w": jax.random.normal(jax.random.PRNGKey(i), (4, 4)),
+                 "b": jnp.ones((4,))}
+        upd, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, upd)
+    assert float(jnp.abs(p["w"] - 1.0).max()) > 0  # moved
+    assert np.isfinite(np.asarray(p["w"])).all()
+
+    sch = cosine_annealing_restart_lr(1.0, periods=[10, 10],
+                                      restart_weights=[1.0, 0.5])
+    np.testing.assert_allclose(float(sch(0)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sch(10)), 0.5, atol=1e-6)  # restart
+    assert float(sch(5)) < 1.0
+
+    sgd = make_optimizer("SGD", 0.1, momentum=0.9)
+    s = sgd.init(params)
+    upd, _ = sgd.update(jax.tree_util.tree_map(jnp.ones_like, params), s, params)
+    np.testing.assert_allclose(np.asarray(upd["w"])[0, 0], -0.1, rtol=1e-6)
