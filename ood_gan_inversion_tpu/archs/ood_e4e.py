@@ -103,13 +103,13 @@ class OODFaceGANE4E(nn.Module):
         return self.generator(lats, noise=noise)
 
     # ---------------------------------------------------------------- forward
-    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
-        """x: (B, H, W, 3) in [-1, 1]. Returns dict(image, lats, aligns, mask,
-        gen_image). aligns maps SAMM index (1=32px .. 4=256px) to
-        (B, h, w, 3) [dx, dy, alpha] plus key 1024 -> composited 3ch mask."""
-        b = x.shape[0]
-        x = x.astype(self.dtype)   # compute dtype follows the input from here
+    def encode(self, x, truncation: float = 1.0,
+               stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+        """Image -> (W+ latents, adapted SAMM features). Split out of the
+        forward so the path-length regularizer can differentiate the decode
+        w.r.t. the latents (reference g_path_regularize,
+        BasicSR losses.py:408-418)."""
+        x = x.astype(self.dtype)
         x256 = resize_bilinear(x, (256, 256))
         lats, feats = self.enc(x256, stage=stage)
         if freeze_encoder:
@@ -122,12 +122,24 @@ class OODFaceGANE4E(nn.Module):
         if truncation < 1.0:
             lats = (self.avg_latent[None].astype(lats.dtype) * (1.0 - truncation)
                     + lats * truncation)
+        feats_c = ([self.feats_conv[i](feats[i]) for i in range(4)]
+                   if self.enable_modulation else None)
+        return lats, feats_c
 
+    def decode_samm(self, lats, feats_c, x, mod_size: int = 256):
+        """(W+, adapted feats) -> blended output dict."""
+        x = x.astype(self.dtype)
         if not self.enable_modulation or not cond_layers_for(mod_size):
             image = self.generator(lats)
             return {"image": image, "lats": lats, "aligns": {}, "mask": None,
                     "gen_image": image}
-
-        feats_c = [self.feats_conv[i](feats[i]) for i in range(4)]
         gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size)
         return blend_and_pack(self, x, gen_image, lats, aligns)
+
+    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
+                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+        """x: (B, H, W, 3) in [-1, 1]. Returns dict(image, lats, aligns, mask,
+        gen_image). aligns maps SAMM index (1=32px .. 4=256px) to
+        (B, h, w, 3) [dx, dy, alpha] plus key 1024 -> composited 3ch mask."""
+        lats, feats_c = self.encode(x, truncation, stage, freeze_encoder)
+        return self.decode_samm(lats, feats_c, x, mod_size)

@@ -76,8 +76,10 @@ class OODFaceGANFeatureStyle(nn.Module):
         w = self.generator.style_mlp(z)
         return jnp.tile(w[:, None, :], (1, self.style_cnt, 1))
 
-    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = 18, freeze_encoder: bool = True):
+    def encode(self, x, truncation: float = 1.0, stage: int = 18,
+               freeze_encoder: bool = True):
+        """Returns (lats, (feats_c, content)) — content rides along so the
+        decode can inject it at generator layer 5."""
         x = x.astype(self.dtype)   # compute dtype follows the input from here
         x256 = adaptive_avg_pool(x, (256, 256))   # reference face_pool L81
         lats, content, feats = self.enc(x256)
@@ -91,9 +93,14 @@ class OODFaceGANFeatureStyle(nn.Module):
         if truncation < 1.0:
             lats = (self.avg_latent[None].astype(lats.dtype) * (1.0 - truncation)
                     + lats * truncation)
+        feats_c = ([self.feats_conv[i](feats[i]) for i in range(4)]
+                   if self.enable_modulation else None)
+        return lats, (feats_c, content)
 
+    def decode_samm(self, lats, feats_and_content, x, mod_size: int = 256):
+        feats_c, content = feats_and_content
+        x = x.astype(self.dtype)
         features_in = {5: content}   # reference L285-287: layer 5, scale 1.0
-
         if not self.enable_modulation or not cond_layers_for(mod_size):
             # plain decode still honors the content injection
             gen_image, _ = conditioned_decode(self, lats, [None] * 4, 0,
@@ -101,9 +108,12 @@ class OODFaceGANFeatureStyle(nn.Module):
                                               feature_scale=self.feature_scale)
             return {"image": gen_image, "lats": lats, "aligns": {},
                     "mask": None, "gen_image": gen_image}
-
-        feats_c = [self.feats_conv[i](feats[i]) for i in range(4)]
         gen_image, aligns = conditioned_decode(
             self, lats, feats_c, mod_size, features_in=features_in,
             feature_scale=self.feature_scale)
         return blend_and_pack(self, x, gen_image, lats, aligns)
+
+    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
+                 stage: int = 18, freeze_encoder: bool = True):
+        lats, fc = self.encode(x, truncation, stage, freeze_encoder)
+        return self.decode_samm(lats, fc, x, mod_size)

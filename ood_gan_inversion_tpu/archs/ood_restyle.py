@@ -81,8 +81,8 @@ class OODFaceGANReStyle(nn.Module):
         w = self.generator.style_mlp(z)
         return jnp.tile(w[:, None, :], (1, self.style_cnt, 1))
 
-    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+    def encode(self, x, truncation: float = 1.0,
+               stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
         b = x.shape[0]
         x = x.astype(self.dtype)   # compute dtype follows the input from here
         x256 = adaptive_avg_pool(x, (256, 256))   # reference face_pool L88
@@ -110,12 +110,20 @@ class OODFaceGANReStyle(nn.Module):
         if truncation < 1.0:
             lats = (self.avg_latent[None].astype(lats.dtype) * (1.0 - truncation)
                     + lats * truncation)
+        feats_c = ([self.feats_conv[i](feats[i]) for i in range(4)]
+                   if self.enable_modulation else None)
+        return lats, feats_c
 
+    def decode_samm(self, lats, feats_c, x, mod_size: int = 256):
+        x = x.astype(self.dtype)
         if not self.enable_modulation or not cond_layers_for(mod_size):
             image = self.generator(lats)
             return {"image": image, "lats": lats, "aligns": {}, "mask": None,
                     "gen_image": image}
-
-        feats_c = [self.feats_conv[i](feats[i]) for i in range(4)]
         gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size)
         return blend_and_pack(self, x, gen_image, lats, aligns)
+
+    def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
+                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+        lats, feats_c = self.encode(x, truncation, stage, freeze_encoder)
+        return self.decode_samm(lats, feats_c, x, mod_size)

@@ -186,6 +186,7 @@ class OODFaceGANModel:
         self.skip_latent_g = train_opt.get("skip_latent_g", True)
         self.skip_gen_g = train_opt.get("skip_gen_g", False)
         self.r1_reg_weight = train_opt.get("r1_reg_weight", 10)
+        self.path_reg_weight = train_opt.get("path_reg_weight", 2)
         self.net_d_reg_every = train_opt.get("net_d_reg_every", 16)
         self.net_g_reg_every = train_opt.get("net_g_reg_every", 4)
         self.grad_clip_norm = train_opt.get("grad_clip_norm", 999.0)
@@ -336,7 +337,7 @@ class OODFaceGANModel:
     # ------------------------------------------------------------------
     def _train_step(self, state: TrainState, batch, rng, *, mod_size: int,
                     stage: int, do_d: bool, do_d2: bool, do_r1_d: bool,
-                    do_r1_d2: bool):
+                    do_r1_d2: bool, do_path_reg: bool = False):
         """One full D / D2 / G alternation (reference L578-789)."""
         logs = {}
         gt5 = batch["gt"]                      # (B, K, H, W, C)
@@ -413,10 +414,38 @@ class OODFaceGANModel:
         # ----------------------------- G step ----------------------------
         def g_loss_fn(train_g):
             pg = merge_params(train_g, state.params_g_frozen)
-            out = self._forward(pg, x, rng_g, mod_size, stage)
-            fake = out["image"]
             total = jnp.zeros(())
             aux = {}
+            if do_path_reg:
+                # path-length regularization (reference optimize_parameters
+                # L761-777 + g_path_regularize): differentiate the decode
+                # w.r.t. the W+ latents via vjp against a random cotangent
+                net_t = type(self.net_g)
+                lats, feats_c = self.net_g.apply(
+                    {"params": pg}, x, stage=stage, method=net_t.encode)
+
+                def dec_full(l):
+                    o = self.net_g.apply({"params": pg}, l, feats_c, x,
+                                         mod_size, method=net_t.decode_samm,
+                                         rngs={"noise": rng_g})
+                    return o["image"], o
+
+                fake, vjp_fn, out = jax.vjp(dec_full, lats, has_aux=True)
+                hw = fake.shape[1] * fake.shape[2]
+                cot = jax.random.normal(rng_path, fake.shape,
+                                        fake.dtype) / jnp.sqrt(float(hw))
+                grad_lats = vjp_fn(cot)[0]
+                from ..losses.gan_loss import path_regularize_stats
+                l_path, path_len, new_mpl = path_regularize_stats(
+                    grad_lats, state.mean_path_length)
+                l_path = (self.path_reg_weight * self.net_g_reg_every * l_path)
+                aux["l_g_path"] = l_path
+                aux["path_length"] = path_len
+                aux["_new_mpl"] = new_mpl
+                total += l_path
+            else:
+                out = self._forward(pg, x, rng_g, mod_size, stage)
+                fake = out["image"]
             if self.cri_gan is not None and not self.skip_gen_g:
                 fake_pred, _ = self.net_d.apply({"params": new_d}, fake)
                 l_g = self.cri_gan(fake_pred, True, is_disc=False)
@@ -468,6 +497,7 @@ class OODFaceGANModel:
         upd_g, new_opt_g = self.tx_g().update(g_grads, state.opt_g,
                                               state.params_g_train)
         new_train_g = optax.apply_updates(state.params_g_train, upd_g)
+        new_mpl = g_aux.pop("_new_mpl", state.mean_path_length)
         logs.update(g_aux)
 
         d = self.ema_decay
@@ -478,7 +508,7 @@ class OODFaceGANModel:
             step=state.step + 1,
             params_g_train=new_train_g, params_d=new_d, params_d2=new_d2,
             ema_train=new_ema, opt_g=new_opt_g, opt_d=new_opt_d,
-            opt_d2=new_opt_d2)
+            opt_d2=new_opt_d2, mean_path_length=new_mpl)
         return new_state, logs
 
     # ------------------------------------------------------------------
@@ -491,11 +521,16 @@ class OODFaceGANModel:
                  and self.net_d2 is not None)
         do_r1_d = do_d and (step % self.net_d_reg_every == 0)
         do_r1_d2 = do_d2 and (step % self.net_d_reg_every == 0)
-        key = (mod_size, stage, do_d, do_d2, do_r1_d, do_r1_d2)
+        batch_n = int(np.prod(batch["gt"].shape[:2]))
+        do_path_reg = (self.cri_gan is not None and batch_n > 1
+                       and step % self.net_g_reg_every == 0
+                       and hasattr(type(self.net_g), "encode"))
+        key = (mod_size, stage, do_d, do_d2, do_r1_d, do_r1_d2, do_path_reg)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(partial(
                 self._train_step, mod_size=mod_size, stage=stage, do_d=do_d,
-                do_d2=do_d2, do_r1_d=do_r1_d, do_r1_d2=do_r1_d2))
+                do_d2=do_d2, do_r1_d=do_r1_d, do_r1_d2=do_r1_d2,
+                do_path_reg=do_path_reg))
         return self._jit_cache[key](state, batch, rng)
 
     # ------------------------------------------------------------------

@@ -148,3 +148,17 @@ def test_model_infer():
     out_ema = model.infer(state, x, jax.random.PRNGKey(3), ema=True)
     np.testing.assert_allclose(np.asarray(out["image"]),
                                np.asarray(out_ema["image"]), atol=1e-6)
+
+
+def test_model_train_step_with_path_reg():
+    opt = micro_opt()
+    opt["train"]["net_g_reg_every"] = 1   # fire every step
+    opt["train"]["path_reg_weight"] = 2
+    model = build_model(opt)
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng, (2, 64, 64, 3))
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(2), 0)
+    assert "l_g_path" in logs and np.isfinite(float(logs["l_g_path"]))
+    assert "path_length" in logs and float(logs["path_length"]) > 0
+    assert float(new_state.mean_path_length) != 0.0
