@@ -86,8 +86,12 @@ def blending_mask(aligns, out_size: int):
 
 
 def blend_and_pack(arch, x, gen_image, lats, aligns):
-    """Blend OOD pixels over the inversion and pack the output dict."""
+    """Blend OOD pixels over the inversion and pack the output dict.
+    skip_SA (reference arch L300-303): the blended base is a detached plain
+    decode; the SAMM-conditioned run still supplies the masks."""
     image = gen_image
+    if getattr(arch, "skip_SA", False):
+        image = jax.lax.stop_gradient(arch.generator(lats))
     mask = None
     if arch.blend_with_gen and aligns:
         mask = blending_mask(aligns, arch.out_size)

@@ -155,12 +155,13 @@ class Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    narrow: float = 1.0
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     dtype: Any = jnp.float32
 
     def setup(self):
-        channels = STYLEGAN2_CHANNELS(self.channel_multiplier)
+        channels = STYLEGAN2_CHANNELS(self.channel_multiplier, self.narrow)
         self.channels = channels
         log_size = int(math.log2(self.size))
         self.log_size = log_size

@@ -11,7 +11,8 @@ import numpy as np
 import jax
 
 from .utils.options import parse_options, copy_opt_file, make_exp_dirs
-from .utils.logger import get_root_logger, MessageLogger, AvgTimer, init_tb_logger
+from .utils.logger import (get_root_logger, MessageLogger, AvgTimer,
+                           init_tb_logger, init_wandb_logger)
 from .utils import checkpoint as ckpt
 from .data import build_dataset, build_dataloader
 from .models import build_model
@@ -70,9 +71,13 @@ def train_pipeline(root_path, args=None):
                         f"train_{opt['name']}_{int(time.time())}.log")
     logger = get_root_logger(log_file=log_file)
     logger.info(f"devices: {jax.devices()}")
+    if opt.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)  # SURVEY §5.2 analogue
     tb_logger = (init_tb_logger(osp.join(opt["path"]["experiments_root"],
                                          "tb_logger"))
                  if (opt.get("logger", {}) or {}).get("use_tb_logger") else None)
+    if (opt.get("logger", {}) or {}).get("wandb"):
+        init_wandb_logger(opt)
 
     train_loader, val_loader = create_train_val_dataloader(opt, logger)
 
@@ -134,9 +139,17 @@ def train_pipeline(root_path, args=None):
             batch_dev = shard_batch(
                 {k_: v for k_, v in batch_np.items() if isinstance(v, np.ndarray)},
                 mesh)
+            prof = (opt.get("logger", {}) or {}).get("profile_iters")
+            if prof and current_iter == int(prof):
+                jax.profiler.start_trace(
+                    osp.join(opt["path"]["experiments_root"], "profile"))
             step_rng, sub = jax.random.split(step_rng)
             state, logs = model.train_step(state, batch_dev, sub, current_iter)
             iter_timer.record()
+            if prof and current_iter == int(prof) + 3:
+                jax.block_until_ready(logs)
+                jax.profiler.stop_trace()
+                logger.info("Wrote profiler trace (3 steps).")
 
             if current_iter % print_freq == 0:
                 log_vars = {"epoch": epoch, "iter": current_iter,

@@ -108,3 +108,23 @@ class MessageLogger:
                 key = f"losses/{k}" if k.startswith("l_") else k
                 self.tb_logger.add_scalar(key, float(v), current_iter)
         self.logger.info(message)
+
+
+def init_wandb_logger(opt):
+    """wandb in tensorboard-sync mode (reference logger.py:125-143); a no-op
+    with a warning when the wandb package is absent from the image."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning(
+            "wandb requested but not installed; skipping (tb still active)")
+        return None
+    wandb_opt = (opt.get("logger", {}) or {}).get("wandb", {}) or {}
+    project = wandb_opt.get("project")
+    if not project:
+        return None
+    resume_id = wandb_opt.get("resume_id")
+    kwargs = {"id": resume_id, "resume": "allow"} if resume_id else {}
+    wandb.init(project=project, name=opt["name"], sync_tensorboard=True,
+               config=opt, **kwargs)
+    return wandb

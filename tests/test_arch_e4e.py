@@ -115,3 +115,25 @@ def test_discriminators_registry():
     p2 = net_d2.init(rng, lats)
     s2, _ = net_d2.apply(p2, lats)
     assert s2.shape == (2, 1)
+
+
+def test_arch_skip_sa():
+    """skip_SA: blended base is a detached plain decode, masks still flow."""
+    arch = tiny_arch(skip_SA=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+    out = arch.apply(params, x, mod_size=64,
+                     rngs={"noise": jax.random.PRNGKey(1)})
+    assert out["mask"] is not None
+    assert sorted(k for k in out["aligns"] if k <= 4) == [1, 2]
+
+    def loss_fn(p):
+        o = arch.apply(p, x, mod_size=64, rngs={"noise": jax.random.PRNGKey(1)})
+        return jnp.mean(jnp.square(o["image"]))
+
+    g = jax.grad(loss_fn)(params)["params"]
+    # gradient still reaches SAMM through the mask path
+    mod_norm = sum(float(jnp.sum(jnp.abs(l)))
+                   for l in jax.tree_util.tree_leaves(g["modulation_3"]))
+    assert mod_norm > 0
