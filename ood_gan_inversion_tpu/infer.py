@@ -42,13 +42,28 @@ class InversionEngine:
         self.out_size = opt["network_g"].get("out_size", 1024)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if params is None:
+            # init on CPU when available (on-TPU init compile costs minutes)
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
             x = jnp.zeros((1, self.out_size, self.out_size, 3))
-            params = self.net.init({"params": rng, "noise": rng}, x,
-                                   mod_size=256)["params"]
-        self.params = params
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    params = self.net.init({"params": rng, "noise": rng}, x,
+                                           mod_size=256)["params"]
+            else:
+                params = self.net.init({"params": rng, "noise": rng}, x,
+                                       mod_size=256)["params"]
+        # pin params to the accelerator once (CPU-resident params would be
+        # re-transferred through the device tunnel on every call)
+        accel = [d for d in jax.devices() if d.platform != "cpu"]
+        self.device = accel[0] if accel else jax.devices()[0]
+        self.params = jax.device_put(params, self.device)
         self.mod_size = opt["network_g"].get("ModSize") or 256
         self._fwd = jax.jit(lambda p, x, k: self.net.apply(
-            {"params": p}, x, mod_size=self.mod_size, rngs={"noise": k}))
+            {"params": p}, x, mod_size=self.mod_size, rngs={"noise": k}),
+            device=self.device)
 
     def apply_direction(self, direction):
         """model.delta_latent += direction (reference L150-151)."""
@@ -56,7 +71,9 @@ class InversionEngine:
         if d.ndim == 2:
             d = d[None]
         self.params = dict(self.params)
-        self.params["delta_latent"] = self.params["delta_latent"] + d
+        self.params["delta_latent"] = jax.device_put(
+            self.params["delta_latent"] + d.astype(
+                self.params["delta_latent"].dtype), self.device)
 
     def invert(self, img01, rng):
         x = jnp.asarray(img2input(img01, self.out_size))

@@ -42,3 +42,16 @@ def test_niqe_runs_with_synthetic_pris():
     cov = np.eye(36)
     s = niqe_score(img, mu, cov, default_gaussian_window())
     assert np.isfinite(s) and s > 0
+
+
+def test_inception_v3_fid_arch():
+    import jax
+    import jax.numpy as jnp
+    from ood_gan_inversion_tpu.nn.inception import InceptionV3FID
+    net = InceptionV3FID()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.clip(jax.random.normal(rng, (2, 299, 299, 3)) * 0.2 + 0.5, 0, 1)
+    params = net.init(rng, x)
+    feats = net.apply(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()

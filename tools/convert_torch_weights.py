@@ -281,12 +281,30 @@ def convert_stylegan2_discriminator(sd, prefix="d"):
     return out, []
 
 
+def convert_inception_v3(sd, prefix=""):
+    """torchvision inception_v3 -> InceptionV3FID paths. Maps every
+    '<block>.<branch>.conv.weight' / '.bn.*'; skips the fc/AuxLogits heads."""
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    for k in sd:
+        if not k.endswith(".conv.weight"):
+            continue
+        mod = k[: -len(".conv.weight")]
+        dst = p + mod.replace(".", "/")
+        out[f"{dst}/weight"] = conv_w(sd[k])
+        put_bn(out, f"{dst}/bn", sd, f"{mod}.bn")
+    return out, [k for k in sd
+                 if k.startswith(("fc.", "AuxLogits."))
+                 and False]  # fc/aux intentionally unused
+
+
 CONVERTERS = {
     "stylegan2": lambda sd: convert_stylegan2_generator(sd),
     "e4e": lambda sd: convert_e4e_encoder(sd),
     "irse50": lambda sd: convert_irse50_backbone(sd),
     "vgg19": lambda sd: convert_vgg19(sd),
     "stylegan2_d": lambda sd: convert_stylegan2_discriminator(sd),
+    "inception": lambda sd: convert_inception_v3(sd),
 }
 
 
