@@ -190,6 +190,7 @@ class OODFaceGANModel:
         self.net_d_reg_every = train_opt.get("net_d_reg_every", 16)
         self.net_g_reg_every = train_opt.get("net_g_reg_every", 4)
         self.grad_clip_norm = train_opt.get("grad_clip_norm", 999.0)
+        self.which_gt = train_opt.get("which_gt", "gt")
         self.ema_decay = 0.5 ** (32 / (10 * 1000))
 
         fix = list(train_opt.get("fix_and_grad", {}).get("fix", []) or [])
@@ -216,13 +217,20 @@ class OODFaceGANModel:
         milestones = sched.get("milestones", None)
         gamma = sched.get("gamma", 1.0)
 
+        warmup = train_opt.get("warmup_iter", -1)
+
         def lr_schedule(base_lr):
             if sched_type == "CosineAnnealingRestartLR":
-                return cosine_annealing_restart_lr(
+                base = cosine_annealing_restart_lr(
                     base_lr, sched.get("periods", [250000]),
                     sched.get("restart_weights"), sched.get("eta_min", 0.0))
-            # MultiStepLR / MultiStepRestartLR
-            return multistep_lr(base_lr, milestones, gamma)
+            else:  # MultiStepLR / MultiStepRestartLR
+                base = multistep_lr(base_lr, milestones, gamma)
+            if warmup and warmup > 0:
+                # linear warmup (reference base_model.py:169-190)
+                return lambda s: base(s) * jnp.minimum(
+                    1.0, (jnp.asarray(s, jnp.float32) + 1.0) / warmup)
+            return base
 
         reg_ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
         betas = (0.0 ** reg_ratio, 0.99 ** reg_ratio)
@@ -340,7 +348,7 @@ class OODFaceGANModel:
                     do_r1_d2: bool, do_path_reg: bool = False):
         """One full D / D2 / G alternation (reference L578-789)."""
         logs = {}
-        gt5 = batch["gt"]                      # (B, K, H, W, C)
+        gt5 = batch[self.which_gt]             # (B, K, H, W, C)
         b, k = gt5.shape[0], gt5.shape[1]
         x = gt5.reshape((-1,) + gt5.shape[2:])  # lr == gt for this task
         gt = x

@@ -62,7 +62,9 @@ def load_pytree(path, target=None):
 
 
 def save_training_checkpoint(state, models_dir, states_dir, it):
-    """Weights (trainable + EMA subtrees per net) and the full train state."""
+    """Weights (trainable + EMA subtrees per net) and the full train state.
+    When delta_latent is being optimized it is additionally saved standalone
+    (reference save_param, OOD_faceGAN_model.py:943-965, 978-979)."""
     weights = {
         "params": state.params_g_train,
         "params_ema": state.ema_train,
@@ -70,6 +72,9 @@ def save_training_checkpoint(state, models_dir, states_dir, it):
         "params_d2": state.params_d2,
     }
     ok = save_pytree(weights, osp.join(models_dir, f"net_{it}"))
+    if isinstance(state.params_g_train, dict) and             "delta_latent" in state.params_g_train:
+        ok = save_pytree({"delta_latent": state.params_g_train["delta_latent"]},
+                         osp.join(models_dir, f"delta_lat_{it}")) and ok
     ok = save_pytree(state, osp.join(states_dir, f"state_{it}")) and ok
     return ok
 

@@ -64,3 +64,15 @@ def test_discriminator_shapes_and_features():
     assert feats[0].shape == (4, 4, 4, 512)   # body output at 4x4
     assert feats[1].shape == (4, 4, 4, 512)   # final conv output
     assert np.isfinite(np.asarray(score)).all()
+
+
+def test_gpen_generator_concat_noise():
+    from ood_gan_inversion_tpu.nn.stylegan2_gpen import GPENGenerator
+    gen = GPENGenerator(size=32, style_dim=32, n_mlp=2, channel_multiplier=1,
+                        narrow=0.5)
+    rng = jax.random.PRNGKey(0)
+    lats = jax.random.normal(rng, (2, 8, 32))
+    params = gen.init({"params": rng, "noise": rng}, lats)
+    img = gen.apply(params, lats, rngs={"noise": jax.random.PRNGKey(1)})
+    assert img.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
