@@ -23,11 +23,11 @@ import jax.numpy as jnp
 from jax import lax
 import numpy as np
 
-# A/B switch for the separable shift-add fast paths (see PERF.md): standalone
-# they are memory-bound-optimal, but in the full pipeline XLA fuses the
-# dilated-conv form with neighbouring elementwise work, so the winner is
-# workload-dependent. Default on; set OGI_UPFIRDN_FAST=0 to force the conv.
-_FAST = os.environ.get("OGI_UPFIRDN_FAST", "1") == "1"
+# A/B switch for the separable shift-add paths (see PERF.md): standalone they
+# are memory-bound-optimal, but in the full 1024px pipeline XLA fuses the
+# dilated-conv form with neighbouring elementwise work and wins by ~5%
+# (31.0 vs 32.7 ms/img measured). Default off; OGI_UPFIRDN_FAST=1 enables.
+_FAST = os.environ.get("OGI_UPFIRDN_FAST", "0") == "1"
 
 
 def make_kernel(k) -> np.ndarray:
