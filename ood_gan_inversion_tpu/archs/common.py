@@ -7,11 +7,19 @@ OOD_faceGAN_{e4e,restyle,featureStyle}_arch.py; here it is one function).
 index 0..3 = [256,128,64,32]px as in the reference ModuleList)."""
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 from ..ops.resize import resize_bilinear
+
+# Rematerialize each decode stage (generator layer pair + SAMM block) during
+# the backward pass instead of storing its activations — together with the
+# loss-net remat in the model this fits 1024px training in one v5e's 16 GB.
+# Gradient values are unchanged; set OGI_DECODE_REMAT=0 to disable.
+_DECODE_REMAT = os.environ.get("OGI_DECODE_REMAT", "1") == "1"
 
 
 def cond_layers_for(mod_size: int, n_feats: int = 4):
@@ -41,6 +49,34 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
             return (1.0 - feature_scale) * out + feature_scale * f
         return out
 
+    def stage(mdl, out, skip, prev_align, lats, feat, f_in_a, f_in_b,
+              idx, i, ind):
+        """One generator layer pair (+ SAMM when conditioned); `mdl` is the
+        arch so flax can lift the stage for remat."""
+        g = mdl.generator
+        conv_a = g.convs[2 * idx]
+        conv_b = g.convs[2 * idx + 1]
+        if f_in_a is not None:
+            out = (1.0 - feature_scale) * out + feature_scale * f_in_a.astype(out.dtype)
+        align = None
+        if ind is not None:
+            out_c = conv_a.conv(out, lats[:, i])      # modulated upsample
+            mod = mdl.modulation[4 - ind]             # modulation[-ind]
+            aligned_feat, align = mod(feat, lats[:, i], out_c,
+                                      aligned_coarse=prev_align)
+            out = conv_a.noise(aligned_feat)          # aligned + w*n
+            out = conv_a.activate(out)
+        else:
+            out = conv_a(out, lats[:, i])
+        if f_in_b is not None:
+            out = (1.0 - feature_scale) * out + feature_scale * f_in_b.astype(out.dtype)
+        out = conv_b(out, lats[:, i + 1])
+        skip = g.to_rgbs[idx](out, lats[:, i + 2], skip)
+        return out, skip, align
+
+    stage_fn = (nn.remat(stage, static_argnums=(8, 9, 10))
+                if _DECODE_REMAT else stage)
+
     out = gen.const_input(b, lats.dtype)
     out = gen.conv1(out, lats[:, 0])
     skip = gen.to_rgb1(out, lats[:, 1])
@@ -49,25 +85,18 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
     prev_align = None
     i = 1
     for idx in range(len(gen.to_rgbs)):
-        conv_a = gen.convs[2 * idx]
-        conv_b = gen.convs[2 * idx + 1]
-        out = insert(out, i)
         if i in cond_layers:
             ind = cond_layers.index(i) + 1            # 1..4, 1 = 32px
-            out_c = conv_a.conv(out, lats[:, i])      # modulated upsample
             feat = feats_c[4 - ind]                   # feats[-ind]
-            mod = arch.modulation[4 - ind]            # modulation[-ind]
-            aligned_feat, align = mod(feat, lats[:, i], out_c,
-                                      aligned_coarse=prev_align)
-            out = conv_a.noise(aligned_feat)          # aligned + w*n
-            out = conv_a.activate(out)
+        else:
+            ind, feat = None, None
+        f_in_a = (features_in or {}).get(i)
+        f_in_b = (features_in or {}).get(i + 1)
+        out, skip, align = stage_fn(arch, out, skip, prev_align, lats, feat,
+                                    f_in_a, f_in_b, idx, i, ind)
+        if align is not None:
             aligns[ind] = align
             prev_align = align
-        else:
-            out = conv_a(out, lats[:, i])
-        out = insert(out, i + 1)
-        out = conv_b(out, lats[:, i + 1])
-        skip = gen.to_rgbs[idx](out, lats[:, i + 2], skip)
         i += 2
     return skip, aligns
 

@@ -191,6 +191,12 @@ class OODFaceGANModel:
         self.net_g_reg_every = train_opt.get("net_g_reg_every", 4)
         self.grad_clip_norm = train_opt.get("grad_clip_norm", 999.0)
         self.which_gt = train_opt.get("which_gt", "gt")
+        # rematerialize the loss nets + D inside the G step: their forward
+        # activations (VGG19 at full res is GBs at 1024px) are recomputed in
+        # the backward instead of stored — required to fit 1024px training in
+        # one v5e's 16 GB (jax.checkpoint replaces the reference's
+        # retain_graph memory strategy)
+        self.use_remat = train_opt.get("remat", True)
         self.ema_decay = 0.5 ** (32 / (10 * 1000))
 
         fix = list(train_opt.get("fix_and_grad", {}).get("fix", []) or [])
@@ -455,7 +461,10 @@ class OODFaceGANModel:
                 out = self._forward(pg, x, rng_g, mod_size, stage)
                 fake = out["image"]
             if self.cri_gan is not None and not self.skip_gen_g:
-                fake_pred, _ = self.net_d.apply({"params": new_d}, fake)
+                d_apply = lambda f: self.net_d.apply({"params": new_d}, f)[0]
+                if self.use_remat:
+                    d_apply = jax.checkpoint(d_apply)
+                fake_pred = d_apply(fake)
                 l_g = self.cri_gan(fake_pred, True, is_disc=False)
                 aux["l_g"] = l_g
                 total += l_g
@@ -467,10 +476,13 @@ class OODFaceGANModel:
                 total += l_lg
             if self.cri_id is not None:
                 shape5 = (b, k) + fake.shape[1:]
-                l_id, l_ref = self.cri_id(
-                    state.loss_net_params["id"], fake.reshape(shape5),
+                id_fn = lambda f: self.cri_id(
+                    state.loss_net_params["id"], f,
                     gt.reshape(shape5), x.reshape(shape5),
                     mimo_id=self.is_mimo, score=batch.get("lq_size"))
+                if self.use_remat:
+                    id_fn = jax.checkpoint(id_fn)
+                l_id, l_ref = id_fn(fake.reshape(shape5))
                 aux["l_id_target"] = l_id
                 total += l_id + l_ref
             if self.cri_pix is not None:
@@ -478,8 +490,11 @@ class OODFaceGANModel:
                 aux["l_pix"] = l_pix
                 total += l_pix
             if self.cri_perceptual is not None:
-                l_p, l_s = self.cri_perceptual(
-                    state.loss_net_params["vgg"], fake, gt)
+                percep_fn = lambda f: self.cri_perceptual(
+                    state.loss_net_params["vgg"], f, gt)
+                if self.use_remat:
+                    percep_fn = jax.checkpoint(percep_fn)
+                l_p, l_s = percep_fn(fake)
                 if l_p is not None:
                     aux["l_percep"] = l_p
                     total += l_p

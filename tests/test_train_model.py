@@ -162,3 +162,18 @@ def test_model_train_step_with_path_reg():
     assert "l_g_path" in logs and np.isfinite(float(logs["l_g_path"]))
     assert "path_length" in logs and float(logs["path_length"]) > 0
     assert float(new_state.mean_path_length) != 0.0
+
+
+def test_model_train_step_mimo_k2():
+    """MIMO K=2 path: batch (B,2,...) flattens through the arch; the ID-loss
+    cross-output term sees the (B,K) score."""
+    opt = micro_opt()
+    opt["train"]["id_opt"] = {"type": "IDLoss", "loss_weight": 0.1,
+                              "ref_loss_weight": 0.1}
+    model = build_model(opt)
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng, (4, 64, 64, 3))
+    batch = make_batch(jax.random.PRNGKey(1), b=2, k=2)
+    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(2), 0)
+    assert "l_id_target" in logs and np.isfinite(float(logs["l_id_target"]))
+    assert int(new_state.step) == 1
