@@ -77,3 +77,36 @@ def test_train_pipeline_end_to_end(synth_data, tmp_path):
         a.replace("train:total_iter=4", "train:total_iter=6") for a in args]
     state2 = train_pipeline(str(tmp_path), args=args_resume)
     assert int(jax.device_get(state2.step)) == 6
+
+
+def test_test_pipeline_end_to_end(synth_data, tmp_path):
+    from ood_gan_inversion_tpu.test import test_pipeline
+    import yaml
+    cfg = {
+        "name": "micro_test",
+        "model_type": "ood_faceGAN_Model",
+        "manual_seed": 0,
+        "is_mimo": True,
+        "datasets": {"test_1": {"name": "synthetic", "type": "Face_Dataset",
+                                "dataroot_gt": synth_data, "mode": "mix_id",
+                                "gt_size": 64, "max_length": 1,
+                                "mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}},
+        "network_g": {"type": "ood_faceGAN_e4e", "out_size": 64,
+                      "style_dim": 512, "channel_multiplier": 1,
+                      "enable_modulation": True, "modulation_type": "NOISE",
+                      "warp_scale": 0.08, "cycle_align": 1,
+                      "blend_with_gen": True, "ModSize": 64,
+                      "stage": "Inference"},
+        "path": {"results_root": str(tmp_path / "results")},
+        "val": {"save_img": True,
+                "metrics": {"psnr": {"type": "calculate_psnr",
+                                     "crop_border": 2,
+                                     "test_y_channel": True,
+                                     "better": "higher"}}},
+    }
+    p = tmp_path / "test.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    results = test_pipeline(str(tmp_path), args=["--opt", str(p)])
+    assert "synthetic" in results
+    assert "psnr" in results["synthetic"]
+    assert np.isfinite(results["synthetic"]["psnr"])
