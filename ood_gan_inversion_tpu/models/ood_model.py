@@ -349,91 +349,108 @@ class OODFaceGANModel:
                                 stage=stage, rngs={"noise": rng})
 
     # ------------------------------------------------------------------
-    def _train_step(self, state: TrainState, batch, rng, *, mod_size: int,
-                    stage: int, do_d: bool, do_d2: bool, do_r1_d: bool,
-                    do_r1_d2: bool, do_path_reg: bool = False):
-        """One full D / D2 / G alternation (reference L578-789)."""
-        logs = {}
-        gt5 = batch[self.which_gt]             # (B, K, H, W, C)
-        b, k = gt5.shape[0], gt5.shape[1]
-        x = gt5.reshape((-1,) + gt5.shape[2:])  # lr == gt for this task
+    # The D / latent-D / G updates are THREE separately-jitted programs
+    # chained by the host wrapper (mirroring the reference's three backward
+    # passes, optimize_parameters L578-789). A single monolithic step program
+    # hit the v5e HBM ceiling at 1024px and XLA's scheduler collapsed to
+    # ~35 s/step; phase-split programs each fit comfortably (PERF.md).
+
+    def _d_phase(self, state: TrainState, batch, rng, *, mod_size: int,
+                 stage: int, do_r1: bool):
+        gt5 = batch[self.which_gt]
+        x = gt5.reshape((-1,) + gt5.shape[2:])
         gt = x
-        rng_d, rng_g, rng_z, rng_path = jax.random.split(rng, 4)
+        rng_d = jax.random.fold_in(rng, 1)
         params_g_all = merge_params(state.params_g_train, state.params_g_frozen)
+        out_d = self._forward(params_g_all, x, rng_d, mod_size, stage)
+        fake = jax.lax.stop_gradient(out_d["image"])
 
-        new_d, new_opt_d = state.params_d, state.opt_d
-        if do_d and self.cri_gan is not None and not self.skip_gen_g:
-            out_d = self._forward(params_g_all, x, rng_d, mod_size, stage)
-            fake = jax.lax.stop_gradient(out_d["image"])
+        def d_loss_fn(pd):
+            real_pred, _ = self.net_d.apply({"params": pd}, gt)
+            fake_pred, _ = self.net_d.apply({"params": pd}, fake)
+            l_d = (self.cri_gan(real_pred, True, is_disc=True) +
+                   self.cri_gan(fake_pred, False, is_disc=True))
+            aux = {"l_d": l_d, "real_score": jnp.mean(real_pred),
+                   "fake_score": jnp.mean(fake_pred)}
+            if do_r1:
+                r1 = r1_penalty_fn(
+                    lambda im: self.net_d.apply({"params": pd}, im)[0], gt)
+                l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                aux["l_d_r1"] = l_r1
+                l_d = l_d + l_r1
+            return l_d, aux
 
-            def d_loss_fn(pd):
-                real_pred, _ = self.net_d.apply({"params": pd}, gt)
-                fake_pred, _ = self.net_d.apply({"params": pd}, fake)
-                l_d = (self.cri_gan(real_pred, True, is_disc=True) +
-                       self.cri_gan(fake_pred, False, is_disc=True))
-                aux = {"l_d": l_d, "real_score": jnp.mean(real_pred),
-                       "fake_score": jnp.mean(fake_pred)}
-                if do_r1_d:
-                    r1 = r1_penalty_fn(
-                        lambda im: self.net_d.apply({"params": pd}, im)[0], gt)
-                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
-                    aux["l_d_r1"] = l_r1
-                    l_d = l_d + l_r1
-                return l_d, aux
+        (_, d_aux), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.params_d)
+        upd, new_opt_d = self.tx_d().update(d_grads, state.opt_d,
+                                            state.params_d)
+        new_d = optax.apply_updates(state.params_d, upd)
+        return state.replace(params_d=new_d, opt_d=new_opt_d), d_aux
 
-            (_, d_aux), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.params_d)
-            upd, new_opt_d = self.tx_d().update(d_grads, state.opt_d,
-                                                state.params_d)
-            new_d = optax.apply_updates(state.params_d, upd)
-            logs.update(d_aux)
+    def _d2_phase(self, state: TrainState, batch, rng, *, mod_size: int,
+                  stage: int, do_r1: bool):
+        gt5 = batch[self.which_gt]
+        b, k = gt5.shape[0], gt5.shape[1]
+        x = gt5.reshape((-1,) + gt5.shape[2:])
+        rng_d = jax.random.fold_in(rng, 2)
+        rng_z = jax.random.fold_in(rng, 3)
+        params_g_all = merge_params(state.params_g_train, state.params_g_frozen)
+        # encoder latents (detached) vs style-MLP latents from random z
+        # (reference infer gt_inv path, L455-495; the unused image decode of
+        # that extra infer is skipped — same math, less compute)
+        net_t = type(self.net_g)
+        if hasattr(net_t, "encode"):
+            enc_lats, _ = self.net_g.apply({"params": params_g_all}, x,
+                                           stage=stage, method=net_t.encode)
+        else:
+            enc_lats = self._forward(params_g_all, x, rng_d, mod_size,
+                                     stage)["lats"]
+        enc_lats = jax.lax.stop_gradient(enc_lats)
+        z = jax.random.normal(rng_z, (b * k, self.net_g.style_dim))
+        real_lats = jax.lax.stop_gradient(self.net_g.apply(
+            {"params": params_g_all}, z, method=net_t.random_latents))
 
-        new_d2, new_opt_d2 = state.params_d2, state.opt_d2
-        real_lats = None
-        if do_d2 and self.cri_gan is not None and not self.skip_latent_g:
-            # encoder latents (detached) vs style-MLP latents from random z
-            # (reference infer gt_inv path, L455-495; we skip the unused
-            # image decode of that extra infer — same math, less compute)
-            out_lat = self._forward(params_g_all, x, rng_d, mod_size, stage)
-            enc_lats = jax.lax.stop_gradient(out_lat["lats"])
-            z = jax.random.normal(rng_z, (b * k, self.net_g.style_dim))
-            real_lats = jax.lax.stop_gradient(self.net_g.apply(
-                {"params": params_g_all}, z,
-                method=type(self.net_g).random_latents))
+        def d2_loss_fn(pd2):
+            real_pred, _ = self.net_d2.apply({"params": pd2}, real_lats)
+            fake_pred, _ = self.net_d2.apply({"params": pd2}, enc_lats)
+            l = (self.cri_gan(real_pred, True, is_disc=True) +
+                 self.cri_gan(fake_pred, False, is_disc=True))
+            aux = {"l_latent_d": l,
+                   "real_latent_score": jnp.mean(real_pred),
+                   "fake_latent_score": jnp.mean(fake_pred)}
+            if do_r1:
+                r1 = r1_penalty_fn(
+                    lambda lt: self.net_d2.apply({"params": pd2}, lt)[0],
+                    real_lats)
+                l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                aux["l_latent_d_r1"] = l_r1
+                l = l + l_r1
+            return l, aux
 
-            def d2_loss_fn(pd2):
-                real_pred, _ = self.net_d2.apply({"params": pd2}, real_lats)
-                fake_pred, _ = self.net_d2.apply({"params": pd2}, enc_lats)
-                l = (self.cri_gan(real_pred, True, is_disc=True) +
-                     self.cri_gan(fake_pred, False, is_disc=True))
-                aux = {"l_latent_d": l,
-                       "real_latent_score": jnp.mean(real_pred),
-                       "fake_latent_score": jnp.mean(fake_pred)}
-                if do_r1_d2:
-                    r1 = r1_penalty_fn(
-                        lambda lt: self.net_d2.apply({"params": pd2}, lt)[0],
-                        real_lats)
-                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
-                    aux["l_latent_d_r1"] = l_r1
-                    l = l + l_r1
-                return l, aux
+        (_, d2_aux), d2_grads = jax.value_and_grad(
+            d2_loss_fn, has_aux=True)(state.params_d2)
+        upd2, new_opt_d2 = self.tx_d2().update(d2_grads, state.opt_d2,
+                                               state.params_d2)
+        new_d2 = optax.apply_updates(state.params_d2, upd2)
+        return state.replace(params_d2=new_d2, opt_d2=new_opt_d2), d2_aux
 
-            (_, d2_aux), d2_grads = jax.value_and_grad(
-                d2_loss_fn, has_aux=True)(state.params_d2)
-            upd2, new_opt_d2 = self.tx_d2().update(d2_grads, state.opt_d2,
-                                                   state.params_d2)
-            new_d2 = optax.apply_updates(state.params_d2, upd2)
-            logs.update(d2_aux)
+    def _g_phase(self, state: TrainState, batch, rng, *, mod_size: int,
+                 stage: int, do_g_gan: bool, do_lat_gan: bool,
+                 do_path_reg: bool):
+        gt5 = batch[self.which_gt]
+        b, k = gt5.shape[0], gt5.shape[1]
+        x = gt5.reshape((-1,) + gt5.shape[2:])
+        gt = x
+        rng_g = jax.random.fold_in(rng, 4)
+        rng_path = jax.random.fold_in(rng, 5)
 
-        # ----------------------------- G step ----------------------------
         def g_loss_fn(train_g):
             pg = merge_params(train_g, state.params_g_frozen)
             total = jnp.zeros(())
             aux = {}
             if do_path_reg:
-                # path-length regularization (reference optimize_parameters
-                # L761-777 + g_path_regularize): differentiate the decode
-                # w.r.t. the W+ latents via vjp against a random cotangent
+                # path-length regularization (reference L761-777 +
+                # g_path_regularize): vjp of the decode w.r.t. the W+ latents
                 net_t = type(self.net_g)
                 lats, feats_c = self.net_g.apply(
                     {"params": pg}, x, stage=stage, method=net_t.encode)
@@ -460,17 +477,18 @@ class OODFaceGANModel:
             else:
                 out = self._forward(pg, x, rng_g, mod_size, stage)
                 fake = out["image"]
-            if self.cri_gan is not None and not self.skip_gen_g:
-                d_apply = lambda f: self.net_d.apply({"params": new_d}, f)[0]
+            if do_g_gan:
+                d_apply = lambda f: self.net_d.apply(
+                    {"params": state.params_d}, f)[0]
                 if self.use_remat:
                     d_apply = jax.checkpoint(d_apply)
                 fake_pred = d_apply(fake)
                 l_g = self.cri_gan(fake_pred, True, is_disc=False)
                 aux["l_g"] = l_g
                 total += l_g
-            if self.cri_gan is not None and not self.skip_latent_g:
-                fake_lat_pred, _ = self.net_d2.apply({"params": new_d2},
-                                                     out["lats"])
+            if do_lat_gan:
+                fake_lat_pred, _ = self.net_d2.apply(
+                    {"params": state.params_d2}, out["lats"])
                 l_lg = self.cri_gan(fake_lat_pred, True, is_disc=False)
                 aux["l_latent_g"] = l_lg
                 total += l_lg
@@ -521,23 +539,20 @@ class OODFaceGANModel:
                                               state.params_g_train)
         new_train_g = optax.apply_updates(state.params_g_train, upd_g)
         new_mpl = g_aux.pop("_new_mpl", state.mean_path_length)
-        logs.update(g_aux)
 
         d = self.ema_decay
-        new_ema = jax.tree_util.tree_map(lambda e, p: e * d + p * (1 - d),
+        new_ema = jax.tree_util.tree_map(lambda e, pp: e * d + pp * (1 - d),
                                          state.ema_train, new_train_g)
-
         new_state = state.replace(
-            step=state.step + 1,
-            params_g_train=new_train_g, params_d=new_d, params_d2=new_d2,
-            ema_train=new_ema, opt_g=new_opt_g, opt_d=new_opt_d,
-            opt_d2=new_opt_d2, mean_path_length=new_mpl)
-        return new_state, logs
+            step=state.step + 1, params_g_train=new_train_g,
+            ema_train=new_ema, opt_g=new_opt_g, mean_path_length=new_mpl)
+        return new_state, g_aux
 
     # ------------------------------------------------------------------
     def train_step(self, state: TrainState, batch, rng, step: int):
         """Host-side wrapper: derives the static curriculum/cadence flags and
-        dispatches to a cached jitted step."""
+        chains the cached jitted phase programs (D -> latent-D -> G, the
+        reference order: G sees the updated discriminators)."""
         stage, mod_size = self.schedule_at(step)
         do_d = self.cri_gan is not None and not self.skip_gen_g
         do_d2 = (self.cri_gan is not None and not self.skip_latent_g
@@ -548,13 +563,33 @@ class OODFaceGANModel:
         do_path_reg = (self.cri_gan is not None and batch_n > 1
                        and step % self.net_g_reg_every == 0
                        and hasattr(type(self.net_g), "encode"))
-        key = (mod_size, stage, do_d, do_d2, do_r1_d, do_r1_d2, do_path_reg)
+
+        logs = {}
+        if do_d:
+            key = ("d", mod_size, stage, do_r1_d)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(partial(
+                    self._d_phase, mod_size=mod_size, stage=stage,
+                    do_r1=do_r1_d), donate_argnums=0)
+            state, d_logs = self._jit_cache[key](state, batch, rng)
+            logs.update(d_logs)
+        if do_d2:
+            key = ("d2", mod_size, stage, do_r1_d2)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(partial(
+                    self._d2_phase, mod_size=mod_size, stage=stage,
+                    do_r1=do_r1_d2), donate_argnums=0)
+            state, d2_logs = self._jit_cache[key](state, batch, rng)
+            logs.update(d2_logs)
+        key = ("g", mod_size, stage, do_d, do_d2, do_path_reg)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(partial(
-                self._train_step, mod_size=mod_size, stage=stage, do_d=do_d,
-                do_d2=do_d2, do_r1_d=do_r1_d, do_r1_d2=do_r1_d2,
-                do_path_reg=do_path_reg))
-        return self._jit_cache[key](state, batch, rng)
+                self._g_phase, mod_size=mod_size, stage=stage,
+                do_g_gan=do_d, do_lat_gan=do_d2, do_path_reg=do_path_reg),
+                donate_argnums=0)
+        state, g_logs = self._jit_cache[key](state, batch, rng)
+        logs.update(g_logs)
+        return state, logs
 
     # ------------------------------------------------------------------
     def eval_params(self, state: TrainState, ema: bool = False):

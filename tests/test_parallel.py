@@ -37,17 +37,19 @@ def test_data_parallel_train_step_matches_single():
     state = model.init_state(rng, (4, 32, 32, 3))
     batch = make_batch(jax.random.PRNGKey(1), b=4, size=32)
 
+    # single-device reference FIRST: the train step donates its input state,
+    # and a replicated device_put may alias the shard-0 buffer on CPU
+    model2 = build_model(_tiny_opt())
+    new_ref, logs_ref = model2.train_step(state, batch, jax.random.PRNGKey(2), 0)
+
+    # rebuild the same initial state for the sharded run
+    state = model.init_state(rng, (4, 32, 32, 3))
     mesh = make_mesh(jax.devices()[:4])
     rep = replicate_sharding(mesh)
     state_sh = jax.device_put(state, rep)
     batch_sh = shard_batch(batch, mesh)
 
     new_sh, logs_sh = model.train_step(state_sh, batch_sh, jax.random.PRNGKey(2), 0)
-
-    # single-device (fully replicated batch placement) reference
-    model2 = build_model(_tiny_opt())
-    model2._jit_cache = {}
-    new_ref, logs_ref = model2.train_step(state, batch, jax.random.PRNGKey(2), 0)
 
     np.testing.assert_allclose(float(logs_sh["l_total"]),
                                float(logs_ref["l_total"]), rtol=2e-4, atol=1e-5)
