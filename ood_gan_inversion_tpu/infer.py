@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .archs import build_network
+from .parallel import make_mesh, shard_batch, replicate_sharding
 from .utils.img_util import imread, img2input, tensor2img, imwrite
 from .utils.logger import get_root_logger
 from .metrics import calculate_metric
@@ -78,6 +79,19 @@ class InversionEngine:
     def invert(self, img01, rng):
         x = jnp.asarray(img2input(img01, self.out_size))
         out = self._fwd(self.params, x, rng)
+        jax.block_until_ready(out["image"])
+        return out
+
+    def invert_batch_sharded(self, imgs01, rng, mesh=None):
+        """Data-parallel batched inversion over a device mesh: the batch is
+        sharded over 'data', params replicated — the dataset-sweep scaling
+        path (SURVEY.md §7 step 6). len(imgs01) must divide by mesh size."""
+        mesh = mesh or make_mesh([d for d in jax.devices()
+                                  if d.platform != "cpu"] or jax.devices())
+        x = np.concatenate([img2input(im, self.out_size) for im in imgs01], 0)
+        xs = shard_batch({"x": x}, mesh)["x"]
+        params = jax.device_put(self.params, replicate_sharding(mesh))
+        out = self._fwd(params, xs, rng)
         jax.block_until_ready(out["image"])
         return out
 

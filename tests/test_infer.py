@@ -82,3 +82,20 @@ def test_load_pretrained_npz_roundtrip(tmp_path):
 
     out = model.infer(state2, jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_invert_batch_sharded_over_mesh(img_dir):
+    """Sharded batch inversion over the virtual 8-device mesh must match the
+    per-image path."""
+    import jax
+    from ood_gan_inversion_tpu.infer import InversionEngine
+    from ood_gan_inversion_tpu.parallel import make_mesh
+    from ood_gan_inversion_tpu.utils.img_util import imread
+
+    eng = InversionEngine(tiny_opt(img_dir))
+    imgs = [imread(osp.join(img_dir, f"{i}.png")) for i in range(2)] * 4  # 8
+    mesh = make_mesh(jax.devices())
+    rng = jax.random.PRNGKey(0)
+    out = eng.invert_batch_sharded(imgs, rng, mesh=mesh)
+    assert out["image"].shape == (8, 64, 64, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
