@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..nn.stylegan2 import feature_modulation
 from ..ops.resize import resize_bilinear
 
 # Rematerialize each decode stage (generator layer pair + SAMM block) during
@@ -54,18 +55,50 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         """One generator layer pair (+ SAMM when conditioned); `mdl` is the
         arch so flax can lift the stage for remat."""
         g = mdl.generator
+        if (ind is None and f_in_a is None and f_in_b is None
+                and g.stage_is_packable(idx)):
+            # uncond high-res stage: phase-packed coarse-res computation
+            # (ops/polyphase.py) — same math, 4x MXU lane utilization
+            out, skip = g.packed_stage(
+                idx, out, skip, lats[:, i], lats[:, i + 1], lats[:, i + 2],
+                unpack_out=(idx < len(g.to_rgbs) - 1))
+            return out, skip, None
         conv_a = g.convs[2 * idx]
         conv_b = g.convs[2 * idx + 1]
         if f_in_a is not None:
             out = (1.0 - feature_scale) * out + feature_scale * f_in_a.astype(out.dtype)
         align = None
-        if ind is not None:
+        mod_type = getattr(mdl, "modulation_type", "NOISE")
+        if ind is not None and mod_type == "NOISE":
             out_c = conv_a.conv(out, lats[:, i])      # modulated upsample
             mod = mdl.modulation[4 - ind]             # modulation[-ind]
             aligned_feat, align = mod(feat, lats[:, i], out_c,
                                       aligned_coarse=prev_align)
             out = conv_a.noise(aligned_feat)          # aligned + w*n
             out = conv_a.activate(out)
+        elif ind is not None:
+            # non-NOISE condition injection (reference model.py:560-566 +
+            # feature_modulation L588-609). Only ADD is functional in the
+            # reference's callback protocol: condition =
+            # (aligned - gen + n*w)/w (arch L224-242), added to the
+            # activated conv output. SFT/FUSE crash on the reference's
+            # [None, None] condition slots (SURVEY §2.1 latent bugs) and are
+            # rejected here with a clear error.
+            if mod_type != "ADD":
+                raise NotImplementedError(
+                    f"modulation_type={mod_type} SAMM injection is "
+                    "non-functional in the reference (None condition slots); "
+                    "use NOISE or ADD")
+            out_a = conv_a(out, lats[:, i])           # full styled conv
+            mod = mdl.modulation[4 - ind]
+            aligned_feat, align = mod(feat, lats[:, i], out_a,
+                                      aligned_coarse=prev_align)
+            nw = conv_a.noise.weight.astype(out_a.dtype)
+            b_, hh, ww_, _ = out_a.shape
+            n = jax.random.normal(mdl.make_rng("noise"), (b_, hh, ww_, 1),
+                                  out_a.dtype)
+            cond = (aligned_feat - out_a + n * nw) / nw
+            out = feature_modulation(out_a, (None, cond), mod_type="ADD")
         else:
             out = conv_a(out, lats[:, i])
         if f_in_b is not None:

@@ -7,5 +7,7 @@ from .layers import (
 )
 from .stylegan2 import (
     ModulatedConv2d, NoiseInjection, StyledConv, ToRGB, Generator,
-    Discriminator, STYLEGAN2_CHANNELS,
+    Discriminator, STYLEGAN2_CHANNELS, feature_modulation,
 )
+from .stylegan2_gpen import GPENGenerator
+from .gcfsr import GCFSRGenerator, FeatureModulation

@@ -130,14 +130,16 @@ class Conv2dTorch(nn.Module):
 
 class FusedLeakyReLU(nn.Module):
     """Bias + lrelu(0.2) * sqrt(2) with learned per-channel bias
-    (reference src/ops/op/fused_act.py:79-96)."""
+    (reference src/ops/op/fused_act.py:79-96). setup-style so the packed
+    polyphase decode path can read `.bias` without invoking the module."""
     channels: int
     negative_slope: float = 0.2
 
-    @nn.compact
+    def setup(self):
+        self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
     def __call__(self, x):
-        b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return fused_leaky_relu(x, b, self.negative_slope)
+        return fused_leaky_relu(x, self.bias, self.negative_slope)
 
 
 class PReLU(nn.Module):

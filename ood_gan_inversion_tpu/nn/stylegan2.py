@@ -20,16 +20,35 @@ exactly `aligned + w*n` — that identity is applied directly here.
 """
 
 import math
-from typing import Any, Sequence
+import os
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.modulated import modulated_conv2d, pixel_norm
+from ..ops.modulated import modulated_conv2d, demod_scale, pixel_norm
 from ..ops.upfirdn2d import make_kernel, upsample2x
+from ..ops.fused_act import fused_leaky_relu
 from ..ops.stats import minibatch_stddev
+from ..ops.polyphase import (pack_space_to_depth, unpack_depth_to_space,
+                             upconv_blur_packed_kernel, conv3x3_packed_kernel,
+                             conv1x1_packed_kernel, skip_up_packed_kernel,
+                             conv_packed, tile_phase_major)
+from ..ops.pallas_kernels import fused_packed_pair, pallas_pair_supported
 from .layers import EqualLinear, FusedLeakyReLU, ConvLayer, ResBlock
+
+# Polyphase-packed decode of the >=512px generator stages (see
+# ops/polyphase.py). Same math, 4x better MXU lane utilization; default on,
+# OGI_PACKED_TAIL=0 restores the naive fine-resolution path.
+_PACKED_TAIL = os.environ.get("OGI_PACKED_TAIL", "1") == "1"
+_PACKED_MIN_RES = 512
+# Fused Pallas kernel for the packed conv pair (ops/pallas_kernels.py).
+# Isolated it beats the XLA packed chain ~1.7x, but end-to-end the opaque
+# custom-call blocks XLA's cross-stage fusion and measures ~0.5 ms SLOWER
+# (29.50 XLA vs 30.04 Pallas ms/img, PERF.md A/B) — default off until the
+# whole stage (pair + toRGB + skip) lands in one kernel.
+_PALLAS_PAIR = os.environ.get("OGI_PALLAS", "0") == "1"
 
 
 def STYLEGAN2_CHANNELS(channel_multiplier: int = 2, narrow: float = 1.0):
@@ -76,16 +95,18 @@ class ModulatedConv2d(nn.Module):
 
 class NoiseInjection(nn.Module):
     """out = image + weight * noise; noise (B,H,W,1) from the 'noise' rng
-    stream when not supplied (reference model.py:277-292)."""
+    stream when not supplied (reference model.py:277-292). setup-style so the
+    packed polyphase decode path can read `.weight` without invoking it."""
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.zeros, (1,))
+
     def __call__(self, image, noise=None):
-        w = self.param("weight", nn.initializers.zeros, (1,))
         if noise is None:
             b, h, wd, _ = image.shape
             noise = jax.random.normal(self.make_rng("noise"), (b, h, wd, 1),
                                       dtype=image.dtype)
-        return image + w.astype(image.dtype) * noise
+        return image + self.weight.astype(image.dtype) * noise
 
 
 class StyledConv(nn.Module):
@@ -210,21 +231,141 @@ class Generator(nn.Module):
         w = self.input if dtype is None else self.input.astype(dtype)
         return jnp.tile(w, (batch, 1, 1, 1))
 
-    def __call__(self, latent, noise=None):
+    def stage_is_packable(self, idx: int) -> bool:
+        """A layer pair runs phase-packed when its output resolution is high
+        enough that its channel count (<=64) underutilizes the MXU lanes."""
+        return (_PACKED_TAIL and 2 ** (idx + 3) >= _PACKED_MIN_RES
+                and self.convs[2 * idx].conv.kernel_size == 3
+                and self.convs[2 * idx].conv.upsample)
+
+    def packed_stage(self, idx, out, skip, l0, l1, l2, noise_a=None,
+                     noise_b=None, unpack_out=True):
+        """One generator layer pair + ToRGB, computed phase-packed at the
+        COARSE (input) resolution — exact same linear algebra as
+        convs[2i] -> convs[2i+1] -> to_rgbs[i] (ops/polyphase.py has the
+        kernel derivations; tests/test_polyphase.py pins parity).
+
+        out: (B, H, W, Cin) coarse activation; skip: (B, H, W, 3) coarse RGB.
+        noise_a/noise_b: optional FINE-res (B, 2H, 2W, 1) noise; drawn packed
+        from the 'noise' rng stream when omitted.
+        Returns (out_fine [or packed when unpack_out=False], skip_fine)."""
+        conv_a, conv_b = self.convs[2 * idx], self.convs[2 * idx + 1]
+        to_rgb = self.to_rgbs[idx]
+        ca, cb, cr = conv_a.conv, conv_b.conv, to_rgb.conv
+        b, h, w, cin = out.shape
+        cmid = ca.out_ch
+        dt = out.dtype
+
+        def packed_noise(noise, noise_mod):
+            n = (jax.random.normal(self.make_rng("noise"), (b, h, w, 4),
+                                   jnp.float32)
+                 if noise is None
+                 else pack_space_to_depth(noise.astype(jnp.float32)))
+            return n * noise_mod.weight.astype(jnp.float32)
+
+        # conv_a: modulated upsample-conv + FIR blur as one packed 3x3 conv
+        s_a = ca.modulation(l0)
+        w_a = ca.weight * (1.0 / math.sqrt(cin * 9))
+        d_a = demod_scale(w_a, s_a)
+        k1 = upconv_blur_packed_kernel(w_a, ca._kernel)
+        # conv_b: same-resolution modulated 3x3, packed 4C -> 4C
+        s_b = cb.modulation(l1)
+        w_b = cb.weight * (1.0 / math.sqrt(cmid * 9))
+        d_b = demod_scale(w_b, s_b)
+        w_b_packed = conv3x3_packed_kernel(w_b)
+
+        cdt = (jnp.bfloat16
+               if dt == jnp.float32 and jax.default_backend() != "cpu"
+               else dt)
+        if _PALLAS_PAIR and pallas_pair_supported(h, w, cin, 4 * cmid,
+                                                  jnp.dtype(cdt).itemsize):
+            # fused Pallas kernels: conv + demod + noise + bias + lrelu per
+            # HBM round trip. bf16 matmul inputs on TPU = XLA's DEFAULT conv
+            # precision for fp32; accumulation is fp32 inside the kernel.
+            z2 = fused_packed_pair(
+                out.astype(cdt),
+                packed_noise(noise_a, conv_a.noise),
+                packed_noise(noise_b, conv_b.noise),
+                k1.astype(cdt), s_a, tile_phase_major(d_a),
+                tile_phase_major(conv_a.activate.bias),
+                w_b_packed.astype(cdt), tile_phase_major(s_b),
+                tile_phase_major(d_b),
+                tile_phase_major(conv_b.activate.bias)).astype(dt)
+        else:
+            def add_noise_lrelu(z, n_packed, act):
+                c = z.shape[-1] // 4
+                z = (z.reshape(b, h, w, 4, c)
+                     + n_packed.astype(dt)[..., None]).reshape(b, h, w, 4 * c)
+                return fused_leaky_relu(z, tile_phase_major(act.bias))
+
+            z = conv_packed(out * s_a[:, None, None, :].astype(dt),
+                            k1.astype(dt))
+            z = z * tile_phase_major(d_a.astype(dt))[:, None, None, :]
+            z = add_noise_lrelu(z, packed_noise(noise_a, conv_a.noise),
+                                conv_a.activate)
+            z2 = conv_packed(z * tile_phase_major(s_b.astype(dt))[:, None, None, :],
+                             w_b_packed.astype(dt))
+            z2 = z2 * tile_phase_major(d_b.astype(dt))[:, None, None, :]
+            z2 = add_noise_lrelu(z2, packed_noise(noise_b, conv_b.noise),
+                                 conv_b.activate)
+
+        # to_rgb (1x1, no demod) + packed FIR upsample of the skip
+        s_r = cr.modulation(l2).astype(dt)
+        w_r = cr.weight * (1.0 / math.sqrt(cmid))
+        k3 = conv1x1_packed_kernel(w_r).astype(dt)
+        rgb = conv_packed(z2 * tile_phase_major(s_r)[:, None, None, :], k3,
+                          padding=0)
+        rgb = rgb + tile_phase_major(to_rgb.bias).astype(dt)
+        if skip is not None:
+            k4 = skip_up_packed_kernel(to_rgb._kernel, 3, dt)
+            rgb = rgb + conv_packed(skip, k4)
+        skip_fine = unpack_depth_to_space(rgb, 3)
+        out_next = unpack_depth_to_space(z2, cmid) if unpack_out else z2
+        return out_next, skip_fine
+
+    def __call__(self, latent, noise=None, packed=None):
         """Plain (unconditioned) decode of W+ (B, n_latent, style_dim)."""
         if noise is None:
             noise = [None] * self.num_layers
+        if packed is None:
+            packed = _PACKED_TAIL
         out = self.const_input(latent.shape[0], latent.dtype)
         out = self.conv1(out, latent[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latent[:, 1])
         i = 1
         for idx in range(len(self.to_rgbs)):
-            out = self.convs[2 * idx](out, latent[:, i], noise=noise[1 + 2 * idx])
-            out = self.convs[2 * idx + 1](out, latent[:, i + 1],
-                                          noise=noise[2 + 2 * idx])
-            skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
+            if packed and self.stage_is_packable(idx):
+                out, skip = self.packed_stage(
+                    idx, out, skip, latent[:, i], latent[:, i + 1],
+                    latent[:, i + 2], noise_a=noise[1 + 2 * idx],
+                    noise_b=noise[2 + 2 * idx],
+                    unpack_out=(idx < len(self.to_rgbs) - 1))
+            else:
+                out = self.convs[2 * idx](out, latent[:, i],
+                                          noise=noise[1 + 2 * idx])
+                out = self.convs[2 * idx + 1](out, latent[:, i + 1],
+                                              noise=noise[2 + 2 * idx])
+                skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
             i += 2
         return skip
+
+
+def feature_modulation(gen_feats, conditions, clss=None, mod_type: str = "SFT"):
+    """Non-NOISE condition injection (reference model.py:588-609, shared by
+    GCFSR_modules.py:638-660): SFT applies (scale, shift), ADD adds the shift
+    term, FUSE gates the shift by sigmoid(scale). `conditions` is a
+    (scale, shift) pair of NHWC tensors (either may be None for ADD)."""
+    c = (jnp.asarray(1.0, gen_feats.dtype) if clss is None
+         else clss.reshape(-1, 1, 1, 1).astype(gen_feats.dtype))
+    if mod_type == "SFT":
+        return (gen_feats * (1.0 + conditions[0].astype(gen_feats.dtype) * c)
+                + conditions[1].astype(gen_feats.dtype) * c)
+    if mod_type == "ADD":
+        return gen_feats + conditions[1].astype(gen_feats.dtype)
+    if mod_type == "FUSE":
+        gate = jax.nn.sigmoid(conditions[0].astype(gen_feats.dtype)) * c
+        return gen_feats + conditions[1].astype(gen_feats.dtype) * gate
+    raise NotImplementedError(f"unknown mod_type {mod_type}")
 
 
 class Discriminator(nn.Module):

@@ -68,6 +68,17 @@ def equal_conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None,
     return y
 
 
+def demod_scale(weight_scaled: jnp.ndarray, style_scale: jnp.ndarray) -> jnp.ndarray:
+    """d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_k w[k,i,o]^2 + 1e-8 ), computed in
+    fp32 regardless of the compute dtype (the 1e-8 eps and the squared sums
+    underflow in bf16). weight_scaled: (kh, kw, Cin, Cout) with the he scale
+    already applied; style_scale: (N, Cin). Returns (N, Cout) fp32."""
+    w32 = weight_scaled.astype(jnp.float32)
+    s32 = style_scale.astype(jnp.float32)
+    w2 = jnp.sum(jnp.square(w32), axis=(0, 1))          # (Cin, Cout)
+    return lax.rsqrt(jnp.square(s32) @ w2 + 1e-8)
+
+
 def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style_scale: jnp.ndarray,
                      demodulate: bool = True, upsample: bool = False,
                      downsample: bool = False,
@@ -84,13 +95,7 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style_scale: jnp.ndarr
     scale = 1.0 / math.sqrt(cin * kh * kw)
 
     if demodulate:
-        # d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_k w[k,i,o]^2 + 1e-8 ),
-        # computed in fp32 regardless of the compute dtype (the 1e-8 eps and
-        # the squared sums underflow in bf16)
-        w32 = (weight * scale).astype(jnp.float32)
-        s32 = style_scale.astype(jnp.float32)
-        w2 = jnp.sum(jnp.square(w32), axis=(0, 1))          # (Cin, Cout)
-        d = lax.rsqrt(jnp.square(s32) @ w2 + 1e-8).astype(x.dtype)  # (N, Cout)
+        d = demod_scale(weight * scale, style_scale).astype(x.dtype)
     else:
         d = None
 
