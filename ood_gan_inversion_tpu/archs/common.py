@@ -22,6 +22,10 @@ from ..ops.resize import resize_bilinear
 # Gradient values are unchanged; set OGI_DECODE_REMAT=0 to disable.
 _DECODE_REMAT = os.environ.get("OGI_DECODE_REMAT", "1") == "1"
 
+# Keep SAMM in fp32 when the arch runs bf16 (see the dtype-boundary note in
+# conditioned_decode); OGI_SAMM_FP32=0 lets SAMM follow the arch dtype.
+_SAMM_FP32 = os.environ.get("OGI_SAMM_FP32", "1") == "1"
+
 
 def cond_layers_for(mod_size: int, n_feats: int = 4):
     """Generator layers receiving SAMM injection
@@ -72,8 +76,20 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         if ind is not None and mod_type == "NOISE":
             out_c = conv_a.conv(out, lats[:, i])      # modulated upsample
             mod = mdl.modulation[4 - ind]             # modulation[-ind]
-            aligned_feat, align = mod(feat, lats[:, i], out_c,
-                                      aligned_coarse=prev_align)
+            # SAMM is an fp32 island inside a bf16 pipeline: bf16 makes the
+            # rest of the pipeline ~3.9 ms faster but SAMM ~3.8 ms SLOWER
+            # (gathers + InstanceNorm casts, PERF.md decomposition), so a
+            # bf16 arch casts up at the SAMM boundary and back after.
+            dt0 = out_c.dtype
+            if _SAMM_FP32 and dt0 == jnp.bfloat16:
+                aligned_feat, align = mod(feat.astype(jnp.float32),
+                                          lats[:, i].astype(jnp.float32),
+                                          out_c.astype(jnp.float32),
+                                          aligned_coarse=prev_align)
+                aligned_feat = aligned_feat.astype(dt0)
+            else:
+                aligned_feat, align = mod(feat, lats[:, i], out_c,
+                                          aligned_coarse=prev_align)
             out = conv_a.noise(aligned_feat)          # aligned + w*n
             out = conv_a.activate(out)
         elif ind is not None:

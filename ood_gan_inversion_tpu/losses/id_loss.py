@@ -69,3 +69,34 @@ class IDLoss:
 
         red = jnp.mean(diff_target) if self.reduce == "mean" else jnp.sum(diff_target)
         return self.loss_weight * red, ref
+
+
+@LOSS_REGISTRY.register()
+class ArcFaceLoss:
+    """Reference src/losses/id_loss.py:108-135 (config-unused but
+    inventoried): grayscale-resize both images to 128px, embed with
+    ResNetArcFace (IRBlock [2,2,2,2]), L1 between embeddings. The reference
+    method is literally named `foward` (a typo) and thus dead even when
+    constructed; the working semantics are reproduced here."""
+
+    def __init__(self, loss_weight=1.0, block="IRBlock", layers=(2, 2, 2, 2),
+                 use_se=False, ckpt=None, **kwargs):
+        from ..nn.arcface_resnet import ResNetArcFace
+        assert block == "IRBlock", "reference only wires IRBlock"
+        self.loss_weight = loss_weight
+        self.ckpt = ckpt
+        self.facenet = ResNetArcFace(layers=tuple(layers), use_se=use_se)
+
+    def init(self, rng):
+        return self.facenet.init(rng, jnp.zeros((1, 128, 128, 1)))
+
+    def gray_resize_for_identity(self, x, size=128):
+        from ..ops.resize import resize_bilinear
+        gray = (0.2989 * x[..., 0] + 0.5870 * x[..., 1] + 0.1140 * x[..., 2])
+        return resize_bilinear(gray[..., None], (size, size))
+
+    def __call__(self, params, y_hat, y):
+        e_hat = self.facenet.apply(params, self.gray_resize_for_identity(y_hat))
+        e = jax.lax.stop_gradient(
+            self.facenet.apply(params, self.gray_resize_for_identity(y)))
+        return self.loss_weight * jnp.mean(jnp.abs(e_hat - e))

@@ -88,3 +88,61 @@ class Encoder4Editing(nn.Module):
             deltas.append(jnp.zeros_like(w0))
         w = w0[:, None, :] + jnp.stack(deltas, axis=1)
         return w, feats
+
+
+class GradualStyleEncoder(nn.Module):
+    """pSp FPN encoder (psp_encoders.py:59-122): all style_count W vectors
+    predicted independently — coarse styles from the 16px map, middle from
+    the FPN-merged 32px map, fine from the 64px map (no w0+delta structure,
+    unlike Encoder4Editing)."""
+    num_layers: int = 50
+    mode: str = "ir_se"
+    stylegan_size: int = 1024
+    bn: Any = True
+
+    def setup(self):
+        self.trunk = IRSETrunk(self.num_layers, self.mode, bn=self.bn)
+        log_size = int(math.log2(self.stylegan_size))
+        self.style_count = 2 * log_size - 2
+        self.coarse_ind = 3
+        self.middle_ind = 7
+        styles = []
+        for i in range(self.style_count):
+            spatial = (16 if i < self.coarse_ind
+                       else (32 if i < self.middle_ind else 64))
+            styles.append(GradualStyleBlock(512, spatial, name=f"style_{i}"))
+        self.styles = styles
+        self.latlayer1 = Conv2dTorch(512, 1, 1, 0)
+        self.latlayer2 = Conv2dTorch(512, 1, 1, 0)
+
+    def __call__(self, x):
+        _, feats = self.trunk(x, taps=(6, 20, 23))
+        c1, c2, c3 = feats[1], feats[2], feats[3]
+        latents = [self.styles[j](c3) for j in range(self.coarse_ind)]
+        p2 = _upsample_add(c3, self.latlayer1(c2))
+        latents += [self.styles[j](p2)
+                    for j in range(self.coarse_ind, self.middle_ind)]
+        p1 = _upsample_add(p2, self.latlayer2(c1))
+        latents += [self.styles[j](p1)
+                    for j in range(self.middle_ind, self.style_count)]
+        return jnp.stack(latents, axis=1)
+
+
+class BackboneEncoderUsingLastLayerIntoW(nn.Module):
+    """Single-W encoder (psp_encoders.py:219-249): trunk -> global average
+    pool -> EqualLinear -> W repeated to W+."""
+    num_layers: int = 50
+    mode: str = "ir_se"
+    stylegan_size: int = 1024
+    bn: Any = True
+
+    def setup(self):
+        self.trunk = IRSETrunk(self.num_layers, self.mode, bn=self.bn)
+        self.linear = EqualLinear(512)
+        log_size = int(math.log2(self.stylegan_size))
+        self.style_count = 2 * log_size - 2
+
+    def __call__(self, x):
+        y, _ = self.trunk(x, taps=())
+        w = self.linear(jnp.mean(y, axis=(1, 2)))
+        return jnp.tile(w[:, None, :], (1, self.style_count, 1))

@@ -18,6 +18,7 @@ All state (the aligns pyramid) is explicit input/output — no module-held
 dicts — so the whole arch forward is one pure jitted program.
 """
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -31,6 +32,7 @@ from .irse import BottleneckIR
 from .stylegan2 import ModulatedConv2d, StyledConv, NoiseInjection
 from ..ops.upfirdn2d import make_kernel, blur as fir_blur
 from ..ops.grid_sample import grid_sample_bilinear
+from ..ops.pallas_kernels import conv3x3_act, conv3x3_act_supported
 from ..ops.resize import resize_bicubic_ac
 
 
@@ -42,23 +44,41 @@ def new_prm(x, y):
     return (y * x) + (x * (1.0 - x))
 
 
-class _XavierConv(Conv2dTorch):
-    """Conv2dTorch but with xavier_normal weights (SPM_Warp.weight_init)."""
+class _XavierConv(nn.Module):
+    """Conv2d with xavier_normal weights (SPM_Warp.weight_init). setup-style
+    (explicit in_ch) so the fused SAMM conv path can read `.weight` without
+    invoking the module."""
+    in_ch: int
+    out_ch: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param(
+            "weight", xavier_normal_init,
+            (self.kernel_size, self.kernel_size, self.in_ch, self.out_ch))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.out_ch,))
+
     def __call__(self, x):
-        cin = x.shape[-1]
-        w = self.param("weight", xavier_normal_init,
-                       (self.kernel_size, self.kernel_size, cin, self.out_ch))
         y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype),
+            x, self.weight.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            y = y + b.astype(y.dtype).reshape(1, 1, 1, -1)
+            y = y + self.bias.astype(y.dtype).reshape(1, 1, 1, -1)
         return y
+
+
+# Fused Pallas conv+PReLU for the AlignNet hot convs. Standalone it beats
+# the isolated XLA conv, but END-TO-END the custom-call boundary breaks
+# XLA's fusion of the IN/conv/PReLU chain and costs ~3.5 ms/img
+# (33.8 vs 30.2, PERF.md A/B) — default OFF; OGI_PALLAS_SAMM=1 enables.
+_PALLAS_SAMM = os.environ.get("OGI_PALLAS_SAMM", "0") == "1"
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -67,22 +87,45 @@ class _XavierBottleneckIR(nn.Module):
     in_ch: int
     depth: int
 
-    @nn.compact
+    def setup(self):
+        if self.in_ch != self.depth:
+            self.shortcut_conv = _XavierConv(self.in_ch, self.depth, 1, 1, 0,
+                                             use_bias=False)
+            self.shortcut_norm = InstanceNorm2d(self.depth, affine=True)
+        self.norm1 = InstanceNorm2d(self.in_ch, affine=True)
+        self.conv1 = _XavierConv(self.in_ch, self.depth, 3, 1, 1,
+                                 use_bias=False)
+        self.prelu = self.param("prelu", nn.initializers.constant(0.25),
+                                (self.depth,))
+        self.conv2 = _XavierConv(self.depth, self.depth, 3, 1, 1,
+                                 use_bias=False)
+        self.norm2 = InstanceNorm2d(self.depth, affine=True)
+
     def __call__(self, x):
         if self.in_ch == self.depth:
             shortcut = x
         else:
-            shortcut = _XavierConv(self.depth, 1, 1, 0, use_bias=False,
-                                   name="shortcut_conv")(x)
-            shortcut = InstanceNorm2d(self.depth, affine=True,
-                                      name="shortcut_norm")(shortcut)
-        res = InstanceNorm2d(self.in_ch, affine=True, name="norm1")(x)
-        res = _XavierConv(self.depth, 3, 1, 1, use_bias=False, name="conv1")(res)
-        # PReLU
-        a = self.param("prelu", nn.initializers.constant(0.25), (self.depth,))
-        res = jnp.where(res >= 0, res, a.reshape(1, 1, 1, -1) * res)
-        res = _XavierConv(self.depth, 3, 1, 1, use_bias=False, name="conv2")(res)
-        res = InstanceNorm2d(self.depth, affine=True, name="norm2")(res)
+            shortcut = self.shortcut_norm(self.shortcut_conv(x))
+        res = self.norm1(x)
+        b, h, w, _ = res.shape
+        # bf16 matmul inputs on TPU = XLA's DEFAULT conv precision for fp32
+        cdt = (jnp.bfloat16
+               if res.dtype == jnp.float32 and jax.default_backend() != "cpu"
+               else res.dtype)
+        if _PALLAS_SAMM and conv3x3_act_supported(
+                h, w, self.in_ch, self.depth, jnp.dtype(cdt).itemsize):
+            res = conv3x3_act(res.astype(cdt), self.conv1.weight.astype(cdt),
+                              self.prelu, "prelu")
+            res = conv3x3_act(res, self.conv2.weight.astype(cdt),
+                              jnp.zeros_like(self.prelu),
+                              "none").astype(x.dtype)
+        else:
+            res = self.conv1(res)
+            res = jnp.where(res >= 0, res,
+                            self.prelu.reshape(1, 1, 1, -1).astype(res.dtype)
+                            * res)
+            res = self.conv2(res)
+        res = self.norm2(res)
         return res + shortcut
 
 

@@ -35,7 +35,8 @@ from ..ops.polyphase import (pack_space_to_depth, unpack_depth_to_space,
                              upconv_blur_packed_kernel, conv3x3_packed_kernel,
                              conv1x1_packed_kernel, skip_up_packed_kernel,
                              conv_packed, tile_phase_major)
-from ..ops.pallas_kernels import fused_packed_pair, pallas_pair_supported
+from ..ops.pallas_kernels import (fused_packed_pair, pallas_pair_supported,
+                                  fused_packed_stage, pallas_stage_supported)
 from .layers import EqualLinear, FusedLeakyReLU, ConvLayer, ResBlock
 
 # Polyphase-packed decode of the >=512px generator stages (see
@@ -277,6 +278,35 @@ class Generator(nn.Module):
         cdt = (jnp.bfloat16
                if dt == jnp.float32 and jax.default_backend() != "cpu"
                else dt)
+        if _PALLAS_PAIR and pallas_stage_supported(h, w, cin, 4 * cmid,
+                                                   jnp.dtype(cdt).itemsize):
+            # whole stage in ONE Pallas kernel: conv pair (demod + noise +
+            # bias + lrelu fused per conv) + toRGB + packed skip upsample,
+            # intermediate activation in VMEM scratch. bf16 matmul inputs on
+            # TPU = XLA's DEFAULT conv precision for fp32; accumulation is
+            # fp32 inside the kernel.
+            s_r = cr.modulation(l2)
+            w_r = cr.weight * (1.0 / math.sqrt(cmid))
+            k3 = conv1x1_packed_kernel(w_r)[0, 0]            # (4C, 12)
+            k3sr = (tile_phase_major(s_r)[:, :, None] * k3[None]).astype(cdt)
+            k4 = skip_up_packed_kernel(to_rgb._kernel, 3, cdt)
+            skip_in = (skip.astype(cdt) if skip is not None
+                       else jnp.zeros((b, h, w, 3), cdt))
+            rgb, z2 = fused_packed_stage(
+                out.astype(cdt),
+                packed_noise(noise_a, conv_a.noise),
+                packed_noise(noise_b, conv_b.noise),
+                skip_in,
+                k1.astype(cdt), s_a, tile_phase_major(d_a),
+                tile_phase_major(conv_a.activate.bias),
+                w_b_packed.astype(cdt), tile_phase_major(s_b),
+                tile_phase_major(d_b),
+                tile_phase_major(conv_b.activate.bias),
+                k3sr, tile_phase_major(to_rgb.bias), k4)
+            skip_fine = unpack_depth_to_space(rgb.astype(dt), 3)
+            z2 = z2.astype(dt)
+            out_next = unpack_depth_to_space(z2, cmid) if unpack_out else z2
+            return out_next, skip_fine
         if _PALLAS_PAIR and pallas_pair_supported(h, w, cin, 4 * cmid,
                                                   jnp.dtype(cdt).itemsize):
             # fused Pallas kernels: conv + demod + noise + bias + lrelu per

@@ -146,6 +146,138 @@ def fused_conv3x3_act(x, noise4, k, s_in, d_out, bias, band: int,
     )(xp, noise4, k, d_out, bias, e)
 
 
+def _stage_band_kernel(x_ref, n1_ref, n2_ref, skip_ref, k1_ref, d1_ref,
+                       b1_ref, s2_ref, k2_ref, d2_ref, b2_ref, k3_ref,
+                       b3_ref, k4_ref, e_ref, rgb_ref, z2_ref, z_scr,
+                       *, band: int):
+    """One (band, W) band of a FULL packed generator stage:
+    conv1(+demod+noise+bias+lrelu, input pre-scaled by s1) ->
+    conv2(+s2+demod+noise+bias+lrelu) -> toRGB(1x1, s_r pre-folded into k3)
+    + packed skip upsample. The conv1 activation lives in a VMEM scratch
+    (z_scr) so conv2 taps slice a ref, not a value.
+
+    Blocks: x (1, band+4, W+4, C1) [pre-scaled+pre-padded 2],
+    n1 (1, band+2, W+2, 4) [pre-padded 1], n2 (1, band, W, 4),
+    skip (1, band+2, W+2, 3) [pre-padded 1], k1 (3,3,C1,C4),
+    k2 (3,3,C4,C4), k3 (1, C4, 12) [per-sample, s_r folded], k4 (3,3,3,12),
+    d1/b1/s2/d2/b2 (1, C4), b3 (1, 12), e (4, C4);
+    outputs rgb (1, band, W, 12), z2 (1, band, W, C4)."""
+    f32 = jnp.float32
+    c1 = x_ref.shape[-1]
+    c4 = k1_ref.shape[-1]
+    w = rgb_ref.shape[2]
+    t = band
+    th = t + 2
+
+    i = pl.program_id(1)
+    ht = pl.num_programs(1) * t
+
+    # conv1 over the halo-1 region
+    acc = jnp.zeros((th * (w + 2), c4), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = x_ref[0, dy:dy + th, dx:dx + w + 2, :].reshape(
+                th * (w + 2), c1)
+            acc = acc + jnp.dot(patch, k1_ref[dy, dx],
+                                preferred_element_type=f32)
+    acc = acc * d1_ref[0].astype(f32)
+    n1 = jnp.dot(n1_ref[0].reshape(th * (w + 2), 4).astype(f32),
+                 e_ref[:].astype(f32), preferred_element_type=f32)
+    z = _lrelu(acc + n1 + b1_ref[0].astype(f32)) * s2_ref[0].astype(f32)
+    z = z.astype(x_ref.dtype).reshape(th, w + 2, c4)
+    # conv2's zero padding: the zact ring outside the array must be 0
+    sh = (th, w + 2, 1)
+    rows = lax.broadcasted_iota(jnp.int32, sh, 0) + i * t - 1
+    cols = lax.broadcasted_iota(jnp.int32, sh, 1) - 1
+    valid = (rows >= 0) & (rows < ht) & (cols >= 0) & (cols < w)
+    z_scr[:] = jnp.where(valid, z, jnp.zeros_like(z))
+
+    # conv2 on the packed activation (taps slice the scratch ref)
+    acc2 = jnp.zeros((t * w, c4), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = z_scr[dy:dy + t, dx:dx + w, :].reshape(t * w, c4)
+            acc2 = acc2 + jnp.dot(patch, k2_ref[dy, dx],
+                                  preferred_element_type=f32)
+    acc2 = acc2 * d2_ref[0].astype(f32)
+    n2 = jnp.dot(n2_ref[0].reshape(t * w, 4).astype(f32),
+                 e_ref[:].astype(f32), preferred_element_type=f32)
+    z2 = _lrelu(acc2 + n2 + b2_ref[0].astype(f32))
+    z2c = z2.astype(z2_ref.dtype)
+    z2_ref[0] = z2c.reshape(t, w, c4)
+
+    # toRGB (s_r folded into k3) + packed skip upsample
+    rgb = jnp.dot(z2c.reshape(t * w, c4), k3_ref[0],
+                  preferred_element_type=f32)
+    rgb = rgb + b3_ref[0].astype(f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = skip_ref[0, dy:dy + t, dx:dx + w, :].reshape(t * w, 3)
+            rgb = rgb + jnp.dot(patch, k4_ref[dy, dx],
+                                preferred_element_type=f32)
+    rgb_ref[0] = rgb.astype(rgb_ref.dtype).reshape(t, w, 12)
+
+
+def fused_packed_stage_pallas(x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2,
+                              b2, k3sr, b3, k4, band: int,
+                              interpret: bool = False):
+    """Whole packed stage in one Pallas call. Args mirror _stage_band_kernel;
+    here x is unpadded/unscaled (s1 applied and pads added in one XLA pass),
+    k3sr is the per-sample (B, C4, 12) toRGB kernel with the style scale
+    already folded, b3 (B, 12), k4 (3,3,3,12). skip may be None (first
+    stage). Returns (rgb (B,H,W,12), z2 (B,H,W,C4))."""
+    bsz, h, w, c1 = x.shape
+    c4 = k1.shape[-1]
+    t = band
+    assert h % t == 0, (h, t)
+    e = _phase_onehot(c4, jnp.float32)
+    xp = jnp.pad(x * s1[:, None, None, :].astype(x.dtype),
+                 [(0, 0), (2, 2), (2, 2), (0, 0)])
+    if skip is None:
+        skip = jnp.zeros((bsz, h, w, 3), x.dtype)
+    skp = jnp.pad(skip, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    n1p = jnp.pad(n1, [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    elem = lambda sizes: tuple(pl.Element(s) for s in sizes)
+    vec = lambda c: pl.BlockSpec((1, c), lambda b, i: (b, 0))
+    flops = 2 * bsz * h * w * (9 * c1 * c4 + 9 * c4 * c4 + c4 * 12 + 9 * 36)
+    rgb, z2 = pl.pallas_call(
+        functools.partial(_stage_band_kernel, band=t),
+        grid=(bsz, h // t),
+        in_specs=[
+            pl.BlockSpec(elem((1, t + 4, w + 4, c1)),
+                         lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec(elem((1, t + 2, w + 2, 4)),
+                         lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec(elem((1, t, w, 4)), lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec(elem((1, t + 2, w + 2, 3)),
+                         lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec((3, 3, c1, c4), lambda b, i: (0, 0, 0, 0)),
+            vec(c4), vec(c4), vec(c4),
+            pl.BlockSpec((3, 3, c4, c4), lambda b, i: (0, 0, 0, 0)),
+            vec(c4), vec(c4),
+            pl.BlockSpec((1, c4, 12), lambda b, i: (b, 0, 0)),
+            vec(12),
+            pl.BlockSpec((3, 3, 3, 12), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((4, c4), lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(elem((1, t, w, 12)), lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec(elem((1, t, w, c4)), lambda b, i: (b, i * t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, 12), x.dtype),
+            jax.ShapeDtypeStruct((bsz, h, w, c4), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((t + 2, w + 2, c4), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=(x.size + 2 * bsz * h * w * c4) * x.dtype.itemsize),
+        interpret=interpret,
+    )(xp, n1p, n2, skp, k1, d1, b1, s2, k2, d2, b2, k3sr, b3, k4, e)
+    return rgb, z2
+
+
 def _pair_pallas(x, n1, n2, k1, s1, d1, b1, k2, s2, d2, b2,
                  interpret: bool = False):
     c4 = k1.shape[-1]
@@ -223,3 +355,184 @@ def _fpp_bwd(res, g):
 
 
 fused_packed_pair.defvjp(_fpp_fwd, _fpp_bwd)
+
+
+def packed_stage_reference(x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2, b2,
+                           k3sr, b3, k4):
+    """XLA formulation of the full packed stage (pair + toRGB + packed skip
+    upsample); custom_vjp backward and test oracle. k3sr: (B, C4, 12) with
+    the toRGB style scale folded; b3 (12,); k4 (3, 3, 3, 12)."""
+    z2 = packed_pair_reference(x, n1, n2, k1, s1, d1, b1, k2, s2, d2, b2)
+    rgb = jnp.einsum("bhwc,bco->bhwo", z2, k3sr.astype(z2.dtype))
+    rgb = rgb + b3.astype(rgb.dtype)
+    rgb = rgb + lax.conv_general_dilated(
+        skip, k4.astype(skip.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return rgb, z2
+
+
+def _stage_band(h: int, w: int, c1: int, c4: int, itemsize: int = 2,
+                budget: int = 10 * 2 ** 20):
+    """Band size for the whole-stage kernel (x band + zact scratch + two
+    fp32 accumulators + z2/rgb outputs)."""
+    for t in (16, 8, 4):
+        if h % t:
+            continue
+        est = ((t + 4) * (w + 4) * c1 * itemsize        # x band
+               + (t + 2) * (w + 2) * c4 * (itemsize + 4)  # zact scratch+acc1
+               + t * w * c4 * (4 + 2 * itemsize)          # acc2 + z2 out
+               + 3 * t * w * max(c1, c4) * itemsize)      # live patches
+        if est <= budget:
+            return t
+    return None
+
+
+def pallas_stage_supported(h: int, w: int, c1: int, c4: int,
+                           itemsize: int = 2) -> bool:
+    return _stage_band(h, w, c1, c4, itemsize) is not None
+
+
+@jax.custom_vjp
+def fused_packed_stage(x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2, b2,
+                       k3sr, b3, k4):
+    """Whole phase-packed generator stage in one Pallas kernel: conv pair
+    (as fused_packed_pair) + toRGB + packed FIR skip upsample. Returns
+    (rgb (B,H,W,12), z2 (B,H,W,C4)). Backward rematerializes through
+    packed_stage_reference."""
+    bsz = x.shape[0]
+    band = _stage_band(x.shape[1], x.shape[2], x.shape[-1], k1.shape[-1],
+                       jnp.dtype(x.dtype).itemsize)
+    args = (x, n1, n2, skip, k1, s1, d1,
+            jnp.broadcast_to(b1[None], (bsz, b1.shape[0])),
+            k2, s2, d2,
+            jnp.broadcast_to(b2[None], (bsz, b2.shape[0])),
+            k3sr, jnp.broadcast_to(b3[None], (bsz, 12)), k4)
+
+    def run(x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2, b2, k3sr, b3, k4,
+            interpret=False):
+        return fused_packed_stage_pallas(
+            x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2, b2, k3sr, b3, k4,
+            band, interpret)
+
+    return jax.lax.platform_dependent(
+        *args,
+        cpu=functools.partial(run, interpret=True),
+        default=run)
+
+
+def _fps_fwd(*args):
+    out = fused_packed_stage(*args)
+    return out, args
+
+
+def _fps_bwd(res, g):
+    _, vjp = jax.vjp(packed_stage_reference, *res)
+    return vjp(g)
+
+
+fused_packed_stage.defvjp(_fps_fwd, _fps_bwd)
+
+
+# ---------------------------------------------------------------- SAMM convs
+
+def _conv_act_band_kernel(x_ref, k_ref, a_ref, o_ref, *, band: int, act: str):
+    """Plain 3x3 conv + optional activation, band-tiled (the SAMM AlignNet
+    hot conv: src/ops/SAMM/helpers.py:58-60 runs 2C->2C 3x3 convs between
+    InstanceNorms/PReLUs that XLA leaves at ~15% MXU efficiency).
+    Blocks: x (1, band+2, W+2, Ci) [pre-padded], k (3, 3, Ci, Co),
+    a (1, Co) PReLU slope (ignored unless act == 'prelu'),
+    o (1, band, W, Co)."""
+    f32 = jnp.float32
+    ci = x_ref.shape[-1]
+    w = o_ref.shape[2]
+    t = band
+    co = k_ref.shape[-1]
+
+    acc = jnp.zeros((t * w, co), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = x_ref[0, dy:dy + t, dx:dx + w, :].reshape(t * w, ci)
+            acc = acc + jnp.dot(patch, k_ref[dy, dx],
+                                preferred_element_type=f32)
+    if act == "prelu":
+        a = a_ref[0].astype(f32)
+        out = jnp.where(acc >= 0, acc, a * acc)
+    elif act == "lrelu":
+        out = _lrelu(acc)
+    else:
+        out = acc
+    o_ref[0] = out.astype(o_ref.dtype).reshape(t, w, co)
+
+
+def _conv3x3_act_pallas(x, k, alpha, act: str, band: int,
+                        interpret: bool = False):
+    bsz, h, w, ci = x.shape
+    co = k.shape[-1]
+    t = band
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    elem = lambda sizes: tuple(pl.Element(s) for s in sizes)
+    return pl.pallas_call(
+        functools.partial(_conv_act_band_kernel, band=t, act=act),
+        grid=(bsz, h // t),
+        in_specs=[
+            pl.BlockSpec(elem((1, t + 2, w + 2, ci)),
+                         lambda b, i: (b, i * t, 0, 0)),
+            pl.BlockSpec((3, 3, ci, co), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, co), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(elem((1, t, w, co)),
+                               lambda b, i: (b, i * t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, co), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * w * ci * co, transcendentals=0,
+            bytes_accessed=(x.size + bsz * h * w * co) * x.dtype.itemsize),
+        interpret=interpret,
+    )(xp, k, alpha[None])
+
+
+def conv3x3_act_reference(x, k, alpha, act: str):
+    """XLA oracle / custom_vjp backward for conv3x3_act."""
+    y = lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if act == "prelu":
+        a = alpha.reshape((1, 1, 1, -1)).astype(y.dtype)
+        return jnp.where(y >= 0, y, a * y)
+    if act == "lrelu":
+        return SQRT2 * jnp.where(y >= 0, y, 0.2 * y)
+    return y
+
+
+def conv3x3_act_supported(h: int, w: int, ci: int, co: int,
+                          itemsize: int = 2) -> bool:
+    # the (3,3,Ci,Co) weight is blocked whole into VMEM: at the deep SAMM
+    # scales (2C=1024) it alone is 19-38 MB and the kernel cannot compile
+    weight_bytes = 9 * ci * co * itemsize
+    return (ci >= 64 and co >= 64 and weight_bytes <= 3 * 2 ** 20
+            and pick_band(h, w, ci, co, itemsize) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_act(x, k, alpha, act: str = "prelu"):
+    """Fused padding-1 3x3 conv + activation Pallas kernel with an XLA
+    rematerializing backward. alpha: (Co,) PReLU slopes (pass zeros when
+    act != 'prelu')."""
+    band = pick_band(x.shape[1], x.shape[2], x.shape[-1], k.shape[-1],
+                     jnp.dtype(x.dtype).itemsize)
+    run = functools.partial(_conv3x3_act_pallas, act=act, band=band)
+    return jax.lax.platform_dependent(
+        x, k, alpha,
+        cpu=functools.partial(run, interpret=True),
+        default=run)
+
+
+def _c3a_fwd(x, k, alpha, act):
+    return conv3x3_act(x, k, alpha, act), (x, k, alpha)
+
+
+def _c3a_bwd(act, res, g):
+    _, vjp = jax.vjp(lambda *a: conv3x3_act_reference(*a, act), *res)
+    return vjp(g)
+
+
+conv3x3_act.defvjp(_c3a_fwd, _c3a_bwd)

@@ -128,11 +128,16 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
     kh, kw = kernel.shape
     pad0, pad1 = int(pad[0]), int(pad[1])
 
-    # Fast paths: XLA lowers dilated depthwise convs ~60x off roofline on TPU
-    # (measured 3.4 ms for a 512->1024 x64ch upsample, PERF.md); separable
-    # shift-multiply-add with free phase-interleave reshapes runs in the
-    # memory-bound regime instead. All StyleGAN blur kernels are rank-1.
-    k1 = _separable_1d(np.asarray(kernel)) if _FAST else None
+    # Fast path (opt-in): separable shift-multiply-add instead of the dilated
+    # depthwise conv. Standalone the conv form is ~60x off roofline (3.4 ms
+    # for a 512->1024 x64ch upsample, 2.65 ms for a 4x4 blur of a 256^2x3
+    # align map), BUT end-to-end XLA fuses the conv form with neighbouring
+    # elementwise work and wins every A/B we ran — including a +3 ms
+    # full-pipeline regression when small-channel blurs were forced onto the
+    # shift-add path (PERF.md). Default stays the conv form.
+    k1 = None
+    if _FAST and not isinstance(kernel, jax.core.Tracer):
+        k1 = _separable_1d(np.asarray(kernel))
     if k1 is not None and kh == kw:
         if up == 2 and down == 1 and (pad0, pad1) == (2, 1) and kh == 4:
             y = _up2_1d(x, k1, 1, pad0, pad1)

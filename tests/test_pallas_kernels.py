@@ -68,3 +68,96 @@ def test_pick_band():
     assert pick_band(256, 256, 256, 256) in (8, 16, 32)
     assert pick_band(6, 6, 64, 128) is None
     assert pallas_pair_supported(512, 512, 64, 128)
+
+
+def test_fused_packed_stage_matches_reference():
+    rs = np.random.RandomState(5)
+    b, h, c1, c4 = 2, 16, 8, 16
+    a = _make_args(rs, b=b, h=h, c1=c1, c4=c4)
+    skip = jnp.asarray(rs.randn(b, h, h, 3).astype(np.float32))
+    k3 = jnp.asarray(rs.randn(c4, 12).astype(np.float32) * 0.2)
+    sr = jnp.asarray((rs.rand(b, c4) + 0.5).astype(np.float32))
+    k3sr = sr[:, :, None] * k3[None]
+    b3 = jnp.asarray(rs.randn(12).astype(np.float32) * 0.1)
+    k4 = jnp.asarray(rs.randn(3, 3, 3, 12).astype(np.float32) * 0.1)
+
+    from ood_gan_inversion_tpu.ops.pallas_kernels import (
+        fused_packed_stage, packed_stage_reference)
+    order = ["x", "n1", "n2"]
+    rest = ["k1", "s1", "d1", "b1", "k2", "s2", "d2", "b2"]
+    args = [a["x"], a["n1"], a["n2"], skip] + [a[k] for k in rest] + \
+        [k3sr, b3, k4]
+    rgb_ref, z2_ref = packed_stage_reference(*args)
+    rgb, z2 = fused_packed_stage(*args)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z2_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_packed_stage_grad_matches_reference_grad():
+    rs = np.random.RandomState(6)
+    b, h, c1, c4 = 1, 8, 4, 8
+    a = _make_args(rs, b=b, h=h, c1=c1, c4=c4)
+    skip = jnp.asarray(rs.randn(b, h, h, 3).astype(np.float32))
+    k3sr = jnp.asarray(rs.randn(b, c4, 12).astype(np.float32) * 0.2)
+    b3 = jnp.asarray(rs.randn(12).astype(np.float32) * 0.1)
+    k4 = jnp.asarray(rs.randn(3, 3, 3, 12).astype(np.float32) * 0.1)
+
+    from ood_gan_inversion_tpu.ops.pallas_kernels import (
+        fused_packed_stage, packed_stage_reference)
+    rest = ["k1", "s1", "d1", "b1", "k2", "s2", "d2", "b2"]
+    args = [a["x"], a["n1"], a["n2"], skip] + [a[k] for k in rest] + \
+        [k3sr, b3, k4]
+    idx = tuple(range(len(args)))
+
+    def loss_ref(*xs):
+        rgb, z2 = packed_stage_reference(*xs)
+        return jnp.sum(rgb ** 2) + jnp.sum(z2 ** 2)
+
+    def loss_pl(*xs):
+        rgb, z2 = fused_packed_stage(*xs)
+        return jnp.sum(rgb ** 2) + jnp.sum(z2 ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=idx)(*args)
+    g_pl = jax.grad(loss_pl, argnums=idx)(*args)
+    for ga, gb in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_act_matches_reference():
+    from ood_gan_inversion_tpu.ops.pallas_kernels import (
+        conv3x3_act, conv3x3_act_reference)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 16, 16, 64).astype(np.float32))
+    k = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.1)
+    a = jnp.asarray(rs.rand(64).astype(np.float32) * 0.5)
+    for act in ("prelu", "lrelu", "none"):
+        ref = conv3x3_act_reference(x, k, a, act)
+        got = conv3x3_act(x, k, a, act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=act)
+    # grad path (rematerialized through the reference)
+    g1 = jax.grad(lambda *v: jnp.sum(conv3x3_act(*v, "prelu") ** 2),
+                  argnums=(0, 1, 2))(x, k, a)
+    g2 = jax.grad(lambda *v: jnp.sum(conv3x3_act_reference(*v, "prelu") ** 2),
+                  argnums=(0, 1, 2))(x, k, a)
+    for ga, gb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_samm_bottleneck_pallas_matches_xla(monkeypatch):
+    import ood_gan_inversion_tpu.nn.samm as samm_mod
+    from ood_gan_inversion_tpu.nn.samm import _XavierBottleneckIR
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(1, 16, 16, 64).astype(np.float32))
+    btn = _XavierBottleneckIR(64, 64)
+    params = btn.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setattr(samm_mod, "_PALLAS_SAMM", False)
+    ref = btn.apply(params, x)
+    monkeypatch.setattr(samm_mod, "_PALLAS_SAMM", True)
+    got = btn.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

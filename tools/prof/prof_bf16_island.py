@@ -1,0 +1,43 @@
+"""bench-style: bf16 arch + fp32 SAMM island vs fp32 baseline."""
+import os, sys, time
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+import numpy as np
+import jax, jax.numpy as jnp
+from ood_gan_inversion_tpu.archs import build_network
+
+tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+cpu = jax.devices("cpu")[0]
+x_host = np.random.RandomState(0).randn(1, 1024, 1024, 3).astype(np.float32)
+
+def run(dt, label):
+    opt = {"type": "ood_faceGAN_e4e", "out_size": 1024, "style_dim": 512,
+           "encoder": "E4E", "enable_modulation": True,
+           "modulation_type": "NOISE", "warp_scale": 0.08, "cycle_align": 2,
+           "blend_with_gen": True, "dtype": dt}
+    net = build_network(opt)
+    rng = jax.random.PRNGKey(0)
+    with jax.default_device(cpu):
+        variables = net.init({"params": rng, "noise": rng},
+                             jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+    params = jax.device_put(variables["params"], tpu)
+    x = jax.device_put(jnp.asarray(x_host), tpu)
+    fwd = jax.jit(lambda p, xx, k: net.apply({"params": p}, xx, mod_size=256,
+                                             rngs={"noise": k}))
+    t0 = time.time()
+    out = fwd(params, x, jax.random.PRNGKey(1)); jax.block_until_ready(out)
+    comp = time.time() - t0
+    for i in range(3):
+        out = fwd(params, x, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    best = 1e9
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(20):
+            out = fwd(params, x, jax.random.PRNGKey(100 + w * 20 + i))
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / 20 * 1000)
+    print(f"{label:36s} {best:8.2f} ms (compile {comp:.0f}s)", file=sys.stderr)
+
+run(jnp.bfloat16, "bf16 arch + fp32 SAMM island")
+run(jnp.float32, "fp32 baseline")
