@@ -278,8 +278,14 @@ class Generator(nn.Module):
         cdt = (jnp.bfloat16
                if dt == jnp.float32 and jax.default_backend() != "cpu"
                else dt)
-        if _PALLAS_PAIR and pallas_stage_supported(h, w, cin, 4 * cmid,
-                                                   jnp.dtype(cdt).itemsize):
+        # the whole-stage kernel measured 18.65 MB scoped VMEM at the real
+        # 1024px shapes (over the 16 MB limit) — its own opt-in until the
+        # band estimator accounts for Mosaic's double buffering
+        use_stage_kernel = (_PALLAS_PAIR
+                            and os.environ.get("OGI_PALLAS_STAGE", "0") == "1"
+                            and pallas_stage_supported(
+                                h, w, cin, 4 * cmid, jnp.dtype(cdt).itemsize))
+        if use_stage_kernel:
             # whole stage in ONE Pallas kernel: conv pair (demod + noise +
             # bias + lrelu fused per conv) + toRGB + packed skip upsample,
             # intermediate activation in VMEM scratch. bf16 matmul inputs on
