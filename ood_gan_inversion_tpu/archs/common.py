@@ -39,14 +39,19 @@ def cond_layers_for(mod_size: int, n_feats: int = 4):
 
 
 def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
-                       feature_scale: float = 1.0):
+                       feature_scale: float = 1.0, noise=None):
     """SAMM-conditioned StyleGAN2 decode. feats_c: 4 adapted encoder features
     [256px, 128px, 64px, 32px]-res order (i.e. self.feats in the reference).
     features_in: optional {layer_idx: tensor} content injection
-    (FeatureStyle; reference model.py:541-546). Returns (image, aligns)."""
+    (FeatureStyle; reference model.py:541-546). noise: optional per-layer
+    noise list (generator indexing: noise[0] for conv1, noise[1+2*idx] /
+    noise[2+2*idx] per pair — same contract as Generator.__call__; None
+    entries draw from the 'noise' rng). Returns (image, aligns)."""
     gen = arch.generator
     b = lats.shape[0]
     cond_layers = cond_layers_for(mod_size)
+    if noise is None:
+        noise = [None] * gen.num_layers
 
     def insert(out, layer_idx):
         if features_in is not None and features_in.get(layer_idx) is not None:
@@ -55,7 +60,7 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         return out
 
     def stage(mdl, out, skip, prev_align, lats, feat, f_in_a, f_in_b,
-              idx, i, ind):
+              n_a, n_b, idx, i, ind):
         """One generator layer pair (+ SAMM when conditioned); `mdl` is the
         arch so flax can lift the stage for remat."""
         g = mdl.generator
@@ -65,6 +70,7 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
             # (ops/polyphase.py) — same math, 4x MXU lane utilization
             out, skip = g.packed_stage(
                 idx, out, skip, lats[:, i], lats[:, i + 1], lats[:, i + 2],
+                noise_a=n_a, noise_b=n_b,
                 unpack_out=(idx < len(g.to_rgbs) - 1))
             return out, skip, None
         conv_a = g.convs[2 * idx]
@@ -90,14 +96,17 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
             else:
                 aligned_feat, align = mod(feat, lats[:, i], out_c,
                                           aligned_coarse=prev_align)
-            out = conv_a.noise(aligned_feat)          # aligned + w*n
+            out = conv_a.noise(aligned_feat, noise=n_a)   # aligned + w*n
             out = conv_a.activate(out)
         elif ind is not None:
             # non-NOISE condition injection (reference model.py:560-566 +
             # feature_modulation L588-609). Only ADD is functional in the
-            # reference's callback protocol: condition =
-            # (aligned - gen + n*w)/w (arch L224-242), added to the
-            # activated conv output. SFT/FUSE crash on the reference's
+            # reference's callback protocol. In that path the callback is
+            # invoked from feature_modulation (NOT NoiseInjection), so the
+            # noise_weight/noise kwargs are absent and default to
+            # 1 / randn_like(image) (arch L233-234): condition =
+            # aligned - gen + randn, i.e. out = aligned + randn — no learned
+            # noise weight involved. SFT/FUSE crash on the reference's
             # [None, None] condition slots (SURVEY §2.1 latent bugs) and are
             # rejected here with a clear error.
             if mod_type != "ADD":
@@ -105,29 +114,27 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
                     f"modulation_type={mod_type} SAMM injection is "
                     "non-functional in the reference (None condition slots); "
                     "use NOISE or ADD")
-            out_a = conv_a(out, lats[:, i])           # full styled conv
+            out_a = conv_a(out, lats[:, i], noise=n_a)   # full styled conv
             mod = mdl.modulation[4 - ind]
             aligned_feat, align = mod(feat, lats[:, i], out_a,
                                       aligned_coarse=prev_align)
-            nw = conv_a.noise.weight.astype(out_a.dtype)
-            b_, hh, ww_, _ = out_a.shape
-            n = jax.random.normal(mdl.make_rng("noise"), (b_, hh, ww_, 1),
+            n = jax.random.normal(mdl.make_rng("noise"), out_a.shape,
                                   out_a.dtype)
-            cond = (aligned_feat - out_a + n * nw) / nw
+            cond = aligned_feat - out_a + n
             out = feature_modulation(out_a, (None, cond), mod_type="ADD")
         else:
-            out = conv_a(out, lats[:, i])
+            out = conv_a(out, lats[:, i], noise=n_a)
         if f_in_b is not None:
             out = (1.0 - feature_scale) * out + feature_scale * f_in_b.astype(out.dtype)
-        out = conv_b(out, lats[:, i + 1])
+        out = conv_b(out, lats[:, i + 1], noise=n_b)
         skip = g.to_rgbs[idx](out, lats[:, i + 2], skip)
         return out, skip, align
 
-    stage_fn = (nn.remat(stage, static_argnums=(8, 9, 10))
+    stage_fn = (nn.remat(stage, static_argnums=(10, 11, 12))
                 if _DECODE_REMAT else stage)
 
     out = gen.const_input(b, lats.dtype)
-    out = gen.conv1(out, lats[:, 0])
+    out = gen.conv1(out, lats[:, 0], noise=noise[0])
     skip = gen.to_rgb1(out, lats[:, 1])
 
     aligns = {}
@@ -142,7 +149,8 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         f_in_a = (features_in or {}).get(i)
         f_in_b = (features_in or {}).get(i + 1)
         out, skip, align = stage_fn(arch, out, skip, prev_align, lats, feat,
-                                    f_in_a, f_in_b, idx, i, ind)
+                                    f_in_a, f_in_b, noise[1 + 2 * idx],
+                                    noise[2 + 2 * idx], idx, i, ind)
         if align is not None:
             aligns[ind] = align
             prev_align = align

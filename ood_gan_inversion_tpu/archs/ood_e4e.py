@@ -126,20 +126,22 @@ class OODFaceGANE4E(nn.Module):
                    if self.enable_modulation else None)
         return lats, feats_c
 
-    def decode_samm(self, lats, feats_c, x, mod_size: int = 256):
+    def decode_samm(self, lats, feats_c, x, mod_size: int = 256, noise=None):
         """(W+, adapted feats) -> blended output dict."""
         x = x.astype(self.dtype)
         if not self.enable_modulation or not cond_layers_for(mod_size):
-            image = self.generator(lats)
+            image = self.generator(lats, noise=noise)
             return {"image": image, "lats": lats, "aligns": {}, "mask": None,
                     "gen_image": image}
-        gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size)
+        gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size,
+                                               noise=noise)
         return blend_and_pack(self, x, gen_image, lats, aligns)
 
     def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True,
+                 noise=None):
         """x: (B, H, W, 3) in [-1, 1]. Returns dict(image, lats, aligns, mask,
         gen_image). aligns maps SAMM index (1=32px .. 4=256px) to
         (B, h, w, 3) [dx, dy, alpha] plus key 1024 -> composited 3ch mask."""
         lats, feats_c = self.encode(x, truncation, stage, freeze_encoder)
-        return self.decode_samm(lats, feats_c, x, mod_size)
+        return self.decode_samm(lats, feats_c, x, mod_size, noise=noise)

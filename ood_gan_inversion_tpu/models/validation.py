@@ -59,8 +59,9 @@ def run_validation(model, state, loader, opt, current_iter, tb_logger=None,
         gt5 = batch["gt"]
         x = gt5.reshape((-1,) + gt5.shape[2:])
         out = model.infer(state, x, rng, step=current_iter, ema=ema)
-        sr_img = tensor2img(np.asarray(out["image"]))
-        gt_img = tensor2img(gt5[0])
+        sr5 = np.asarray(out["image"]).reshape(gt5.shape)  # (B,K,H,W,C)
+        sr_img = tensor2img(sr5[0, 0])   # view 0 for the visual dumps
+        gt_img = tensor2img(gt5[0, 0])
 
         img_name = osp.splitext(osp.basename(
             batch["gt_path"][0][0] if isinstance(batch["gt_path"][0], list)
@@ -78,9 +79,17 @@ def run_validation(model, state, loader, opt, current_iter, tb_logger=None,
                 imwrite(gt_img, osp.join(vis, img_name, f"{img_name}_gt.jpg"))
 
         if metrics_opt:
+            # compare every MIMO view against ITS ground truth (a K>1 config
+            # must not silently score only view 0), averaged per sample
+            n_views = int(np.prod(gt5.shape[:2]))
             for name, m_opt in metrics_opt.items():
-                sums[name] += calculate_metric(
-                    {"img": sr_img, "img2": gt_img}, m_opt)
+                v = 0.0
+                for bi in range(gt5.shape[0]):
+                    for ki in range(gt5.shape[1]):
+                        v += calculate_metric(
+                            {"img": tensor2img(sr5[bi, ki]),
+                             "img2": tensor2img(gt5[bi, ki])}, m_opt)
+                sums[name] += v / n_views
         count += 1
 
     results = {k: v / max(count, 1) for k, v in sums.items()}

@@ -115,6 +115,10 @@ def fused_conv3x3_act(x, noise4, k, s_in, d_out, bias, band: int,
     bsz, h, w, ci = x.shape
     co = k.shape[-1]
     t = band
+    if t is None:
+        raise ValueError(
+            f"fused_conv3x3_act: no row band of ({h},{w},{ci}->{co}) fits the "
+            "scoped-VMEM budget — gate calls on pallas_pair_supported()")
     assert h % t == 0, (h, t)
     e = _phase_onehot(co, jnp.float32)
     # pre-scale + pre-pad in XLA (one fused pass); the kernel then reads tap
@@ -516,9 +520,12 @@ def conv3x3_act_supported(h: int, w: int, ci: int, co: int,
 def conv3x3_act(x, k, alpha, act: str = "prelu"):
     """Fused padding-1 3x3 conv + activation Pallas kernel with an XLA
     rematerializing backward. alpha: (Co,) PReLU slopes (pass zeros when
-    act != 'prelu')."""
+    act != 'prelu'). Falls back to the XLA reference when no VMEM band fits
+    (callers should still gate on conv3x3_act_supported for perf intent)."""
     band = pick_band(x.shape[1], x.shape[2], x.shape[-1], k.shape[-1],
                      jnp.dtype(x.dtype).itemsize)
+    if band is None:
+        return conv3x3_act_reference(x, k, alpha, act)
     run = functools.partial(_conv3x3_act_pallas, act=act, band=band)
     return jax.lax.platform_dependent(
         x, k, alpha,

@@ -89,16 +89,9 @@ def test_ood_arch_add_modulation_forward():
     x = jax.random.normal(rng, (1, 64, 64, 3)) * 0.5
     variables = net.init({"params": rng, "noise": rng}, x, mod_size=64)
 
-    # noise weights are zero-init; ADD divides by them -> bump to 0.5 so the
-    # path is finite (reference relies on trained nonzero weights)
-    def bump(path, p):
-        keys = [getattr(k, "key", "") for k in path]
-        if "noise" in keys and keys[-1] == "weight":
-            return jnp.full_like(p, 0.5)
-        return p
-    params = jax.tree_util.tree_map_with_path(bump, variables["params"])
-
-    out = net.apply({"params": params}, x, mod_size=64,
+    # ADD mode adds `aligned - gen + randn` (noise_weight defaults to 1 in
+    # the reference callback, arch L233-242) — finite even at zero-init.
+    out = net.apply({"params": variables["params"]}, x, mod_size=64,
                     rngs={"noise": jax.random.PRNGKey(1)})
     assert out["image"].shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out["image"])).all()
