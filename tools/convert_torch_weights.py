@@ -52,6 +52,12 @@ def linear_w(x):
     return np.transpose(_t(x), (1, 0))
 
 
+def structural_key(k: str) -> bool:
+    """Buffers that are compile-time constants (FIR kernels) or torch
+    bookkeeping (BN step counters) — never converted, never 'leftover'."""
+    return k.endswith("num_batches_tracked") or k.endswith("kernel")
+
+
 def put_bn(out, prefix, sd, key, suffix=""):
     out[f"{prefix}/scale"] = _t(sd[f"{key}.weight"])
     out[f"{prefix}/bias"] = _t(sd[f"{key}.bias"])
@@ -103,8 +109,11 @@ def convert_stylegan2_generator(sd, prefix="generator"):
     for i in range(n_pairs):
         to_rgb(f"{prefix}/to_rgbs_{i}", f"to_rgbs.{i}")
 
+    # noises.* buffers and the FIR blur/upsample kernels are structural
+    # constants (make_kernel compile-time numpy on our side), not weights
     leftovers = [k for k in sd if k not in consumed
-                 and not k.startswith("noises.")]
+                 and not k.startswith("noises.")
+                 and not k.endswith("kernel")]
     return out, leftovers
 
 
@@ -187,7 +196,8 @@ def convert_e4e_encoder(sd, prefix="encoder"):
         out[f"{prefix}/{lat}/bias"] = _t(sd[f"{lat}.bias"])
         consumed.update({f"{lat}.weight", f"{lat}.bias"})
 
-    leftovers = [k for k in sd if k not in consumed]
+    leftovers = [k for k in sd if k not in consumed
+                 and not structural_key(k)]
     return out, leftovers
 
 
@@ -204,7 +214,8 @@ def convert_irse50_backbone(sd, prefix=""):
         out[f"{p}out_norm1d/scale"] = np.ones((n,), np.float32)
         out[f"{p}out_norm1d/bias"] = np.zeros((n,), np.float32)
     consumed.update(k for k in sd if k.startswith("output_layer."))
-    leftovers = [k for k in sd if k not in consumed]
+    leftovers = [k for k in sd if k not in consumed
+                 and not structural_key(k)]
     return out, leftovers
 
 
@@ -252,24 +263,25 @@ def convert_stylegan2_discriminator(sd, prefix="d"):
     activated layers keep bias in the FusedLeakyReLU."""
     out = {}
     n_res = len({k.split(".")[1] for k in sd if k.startswith("conv_body.")}) - 1
+    log_size = n_res + 2          # n_res blocks span log2(size)..3
 
     def conv_layer(dst, src, activated=True, has_blur=False):
+        # BasicSR ConvLayer = Sequential([blur?, EqualConv2d(weight only when
+        # activated), FusedLeakyReLU(bias)]) — the bias of an activated layer
+        # lives on the ACTIVATION module (stylegan2_arch.py ConvLayer)
         ci = 1 if has_blur else 0
         out[f"{dst}/conv/weight"] = modconv_w(sd[f"{src}.{ci}.weight"])
-        bias_key = f"{src}.{ci}.bias"
-        if bias_key in sd:
-            if activated:
-                out[f"{dst}/act/bias"] = _t(sd[bias_key])
-            else:
-                out[f"{dst}/conv/bias"] = _t(sd[bias_key])
+        if activated and f"{src}.{ci + 1}.bias" in sd:
+            out[f"{dst}/act/bias"] = _t(sd[f"{src}.{ci + 1}.bias"])
+        elif f"{src}.{ci}.bias" in sd:
+            out[f"{dst}/conv/bias"] = _t(sd[f"{src}.{ci}.bias"])
 
     # conv_body.0: ConvLayer(3, ch, 1)
     conv_layer(f"{prefix}/conv0", "conv_body.0")
-    log = 0
     for i in range(1, n_res + 1):
         # ResBlock: conv1 (ConvLayer), conv2 (down, blur first), skip (down)
         src = f"conv_body.{i}"
-        dst = f"{prefix}/res_{int(np.log2(1024)) - i + 1}"
+        dst = f"{prefix}/res_{log_size - i + 1}"
         conv_layer(f"{dst}/conv1", f"{src}.conv1")
         conv_layer(f"{dst}/conv2", f"{src}.conv2", has_blur=True)
         conv_layer(f"{dst}/skip", f"{src}.skip", activated=False, has_blur=True)
@@ -279,6 +291,109 @@ def convert_stylegan2_discriminator(sd, prefix="d"):
     out[f"{prefix}/final_linear1/weight"] = linear_w(sd["final_linear.1.weight"])
     out[f"{prefix}/final_linear1/bias"] = _t(sd["final_linear.1.bias"])
     return out, []
+
+
+# ------------------------------------------------------------------- SAMM
+
+def _samm_in(out, dst, sd, src, consumed):
+    """InstanceNorm2d(affine=True) -> InstanceNorm2d scale/bias."""
+    out[f"{dst}/scale"] = _t(sd[f"{src}.weight"])
+    out[f"{dst}/bias"] = _t(sd[f"{src}.bias"])
+    consumed.update({f"{src}.weight", f"{src}.bias"})
+
+
+def _samm_bottleneck(out, dst, sd, src, consumed):
+    """Reference bottleneck_IR(bn='InstanceNorm', bias=False)
+    (e4e/encoders/helpers.py:426-446) -> _XavierBottleneckIR paths."""
+    if f"{src}.shortcut_layer.0.weight" in sd:
+        out[f"{dst}/shortcut_conv/weight"] = conv_w(
+            sd[f"{src}.shortcut_layer.0.weight"])
+        consumed.add(f"{src}.shortcut_layer.0.weight")
+        if f"{src}.shortcut_layer.0.bias" in sd:
+            out[f"{dst}/shortcut_conv/bias"] = _t(
+                sd[f"{src}.shortcut_layer.0.bias"])
+            consumed.add(f"{src}.shortcut_layer.0.bias")
+        _samm_in(out, f"{dst}/shortcut_norm", sd, f"{src}.shortcut_layer.1",
+                 consumed)
+    _samm_in(out, f"{dst}/norm1", sd, f"{src}.res_layer.0", consumed)
+    out[f"{dst}/conv1/weight"] = conv_w(sd[f"{src}.res_layer.1.weight"])
+    out[f"{dst}/prelu"] = _t(sd[f"{src}.res_layer.2.weight"])
+    out[f"{dst}/conv2/weight"] = conv_w(sd[f"{src}.res_layer.3.weight"])
+    consumed.update({f"{src}.res_layer.1.weight", f"{src}.res_layer.2.weight",
+                     f"{src}.res_layer.3.weight"})
+    for ck in (f"{src}.res_layer.1.bias", f"{src}.res_layer.3.bias"):
+        if ck in sd:
+            dk = ("conv1" if ck.endswith("1.bias") else "conv2")
+            out[f"{dst}/{dk}/bias"] = _t(sd[ck])
+            consumed.add(ck)
+    _samm_in(out, f"{dst}/norm2", sd, f"{src}.res_layer.4", consumed)
+
+
+def convert_spm_warp(sd, prefix="", src_prefix=""):
+    """Reference SPM_Warp (SAMM/helpers.py:111-147) -> SPMWarp paths:
+    body.body.{0,1}.* -> body/body{0,1}/*. body.norm is affine-free (no
+    params); the Blur kernel is a compile-time constant."""
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+    for j in (0, 1):
+        _samm_bottleneck(out, f"{p}body/body{j}", sd,
+                         f"{src_prefix}body.body.{j}", consumed)
+    consumed.update(k for k in sd if k.startswith(src_prefix)
+                    and structural_key(k))
+    return out, consumed
+
+
+def convert_ood_modulation(sd, prefix=""):
+    """The reference's trained-checkpoint payload: only params whose names
+    contain modulation/feats_conv are saved (OOD_faceGAN_model.py:968-973).
+    modulation.{i} -> modulation_{i} (i: 0=256px .. 3=32px), feats_conv.{i}
+    -> feats_conv_{i}. The unused modulation.{i}.weight / noiseInj.weight
+    members (SAMM/helpers.py:203-206, dropped in the flax block) are skipped.
+    """
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+    mods = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith("modulation.")})
+    for i in mods:
+        o, c = convert_spm_warp(sd, f"{p}modulation_{i}/alignment",
+                                src_prefix=f"modulation.{i}.alignment.")
+        out.update(o)
+        consumed |= c
+        consumed.update({f"modulation.{i}.weight",
+                         f"modulation.{i}.noiseInj.weight"})
+    fcs = sorted({int(k.split(".")[1]) for k in sd
+                  if k.startswith("feats_conv.")})
+    for i in fcs:
+        out[f"{p}feats_conv_{i}/weight"] = conv_w(sd[f"feats_conv.{i}.weight"])
+        out[f"{p}feats_conv_{i}/bias"] = _t(sd[f"feats_conv.{i}.bias"])
+        consumed.update({f"feats_conv.{i}.weight", f"feats_conv.{i}.bias"})
+    leftovers = [k for k in sd if k not in consumed
+                 and not structural_key(k)]
+    return out, leftovers
+
+
+def convert_ood_e4e_arch(sd):
+    """FULL ood_faceGAN_e4e state_dict -> our OODFaceGANE4E param tree
+    (generator + encoder + SAMM modulation + adapters + latents). Used by
+    the golden reference-parity tests and by whole-model checkpoints."""
+    out = {}
+    sub = lambda pre: {k[len(pre):]: v for k, v in sd.items()
+                       if k.startswith(pre)}
+    gen, gl = convert_stylegan2_generator(sub("generator."), prefix="generator")
+    enc, el = convert_e4e_encoder(sub("encoder."), prefix="encoder")
+    mod, ml = convert_ood_modulation(
+        {k: v for k, v in sd.items()
+         if k.startswith(("modulation.", "feats_conv."))})
+    out.update(gen)
+    out.update(enc)
+    out.update(mod)
+    out["avg_latent"] = _t(sd["avg_latent"])
+    out["delta_latent"] = _t(sd["delta_latent"])
+    leftovers = ([f"generator.{k}" for k in gl] + [f"encoder.{k}" for k in el]
+                 + list(ml))
+    return out, leftovers
 
 
 def convert_inception_v3(sd, prefix=""):
@@ -305,6 +420,10 @@ CONVERTERS = {
     "vgg19": lambda sd: convert_vgg19(sd),
     "stylegan2_d": lambda sd: convert_stylegan2_discriminator(sd),
     "inception": lambda sd: convert_inception_v3(sd),
+    # the OOD project's own trained checkpoint (modulation+feats_conv subset,
+    # OOD_faceGAN_model.py:968-973) and a full-arch state_dict
+    "ood_modulation": lambda sd: convert_ood_modulation(sd),
+    "ood_e4e": lambda sd: convert_ood_e4e_arch(sd),
 }
 
 
