@@ -52,6 +52,7 @@ _KNOWN_TRAIN_KEYS = {
     "skip_latent_g", "skip_gen_g", "which_gt", "grad_clip_norm",
     "r1_reg_weight", "path_reg_weight", "path_batch_shrink",
     "net_d_reg_every", "net_g_reg_every", "remat", "ema_decay",
+    "fused_step",
 }
 # accepted by the reference model but inert there too (dead loss hooks with
 # no loss class behind them, OOD_faceGAN_model.py:184-238, or knobs of the
@@ -253,6 +254,10 @@ class OODFaceGANModel:
         # one v5e's 16 GB (jax.checkpoint replaces the reference's
         # retain_graph memory strategy)
         self.use_remat = train_opt.get("remat", True)
+        # fused step: one jitted program per step sharing a single G forward
+        # between the D/latent-D/G updates (see _fused_phase). Falls back to
+        # the three phase-split programs on path-reg steps and when disabled.
+        self.fused_step = train_opt.get("fused_step", True)
         self.ema_decay = 0.5 ** (32 / (10 * 1000))
 
         fix = list(train_opt.get("fix_and_grad", {}).get("fix", []) or [])
@@ -490,6 +495,173 @@ class OODFaceGANModel:
         new_d2 = optax.apply_updates(state.params_d2, upd2)
         return state.replace(params_d2=new_d2, opt_d2=new_opt_d2), d2_aux
 
+    def _fused_phase(self, state: TrainState, batch, rng, *, mod_size: int,
+                     stage: int, do_d: bool, do_d2: bool, do_r1_d: bool,
+                     do_r1_d2: bool):
+        """ONE jitted program for the whole D -> latent-D -> G step sharing a
+        SINGLE generator forward: jax.vjp captures the forward's residuals
+        (cheap under decode remat), the D/latent-D updates train on its
+        stop-gradient outputs, and the G update pulls its output-cotangents
+        back through the stored vjp — replacing the reference's second
+        `infer` call per step (OOD_faceGAN_model.py:587,666; its
+        retain_graph reuse pattern, made explicit). Path-reg steps use the
+        split phases (they need a nested lats-vjp inside the loss)."""
+        gt5 = batch[self.which_gt]
+        b, k = gt5.shape[0], gt5.shape[1]
+        x = gt5.reshape((-1,) + gt5.shape[2:])
+        gt = x
+        rng_g = jax.random.fold_in(rng, 4)
+        rng_z = jax.random.fold_in(rng, 3)
+        logs = {}
+
+        # ---- one G forward, residuals kept for the G backward ----
+        def fwd(train_g):
+            pg = merge_params(train_g, state.params_g_frozen)
+            out = self._forward(pg, x, rng_g, mod_size, stage)
+            return out["image"], out["lats"], out["aligns"]
+
+        (fake, lats, aligns), g_vjp = jax.vjp(fwd, state.params_g_train)
+        fake_sg = jax.lax.stop_gradient(fake)
+        lats_sg = jax.lax.stop_gradient(lats)
+
+        # ---- D update (sees the current G's output, reference order) ----
+        new_d, new_opt_d = state.params_d, state.opt_d
+        if do_d:
+            def d_loss_fn(pd):
+                real_pred, _ = self.net_d.apply({"params": pd}, gt)
+                fake_pred, _ = self.net_d.apply({"params": pd}, fake_sg)
+                l_d = (self.cri_gan(real_pred, True, is_disc=True) +
+                       self.cri_gan(fake_pred, False, is_disc=True))
+                aux = {"l_d": l_d, "real_score": jnp.mean(real_pred),
+                       "fake_score": jnp.mean(fake_pred)}
+                if do_r1_d:
+                    r1 = r1_penalty_fn(
+                        lambda im: self.net_d.apply({"params": pd}, im)[0], gt)
+                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                    aux["l_d_r1"] = l_r1
+                    l_d = l_d + l_r1
+                return l_d, aux
+
+            (_, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d)
+            upd, new_opt_d = self.tx_d().update(d_grads, state.opt_d,
+                                                state.params_d)
+            new_d = optax.apply_updates(state.params_d, upd)
+            logs.update(d_aux)
+
+        # ---- latent-D update ----
+        new_d2, new_opt_d2 = state.params_d2, state.opt_d2
+        if do_d2:
+            net_t = type(self.net_g)
+            params_g_all = merge_params(state.params_g_train,
+                                        state.params_g_frozen)
+            z = jax.random.normal(rng_z, (b * k, self.net_g.style_dim))
+            real_lats = jax.lax.stop_gradient(self.net_g.apply(
+                {"params": params_g_all}, z, method=net_t.random_latents))
+
+            def d2_loss_fn(pd2):
+                real_pred, _ = self.net_d2.apply({"params": pd2}, real_lats)
+                fake_pred, _ = self.net_d2.apply({"params": pd2}, lats_sg)
+                l = (self.cri_gan(real_pred, True, is_disc=True) +
+                     self.cri_gan(fake_pred, False, is_disc=True))
+                aux = {"l_latent_d": l,
+                       "real_latent_score": jnp.mean(real_pred),
+                       "fake_latent_score": jnp.mean(fake_pred)}
+                if do_r1_d2:
+                    r1 = r1_penalty_fn(
+                        lambda lt: self.net_d2.apply({"params": pd2}, lt)[0],
+                        real_lats)
+                    l_r1 = self.r1_reg_weight / 2 * r1 * self.net_d_reg_every
+                    aux["l_latent_d_r1"] = l_r1
+                    l = l + l_r1
+                return l, aux
+
+            (_, d2_aux), d2_grads = jax.value_and_grad(
+                d2_loss_fn, has_aux=True)(state.params_d2)
+            upd2, new_opt_d2 = self.tx_d2().update(d2_grads, state.opt_d2,
+                                                   state.params_d2)
+            new_d2 = optax.apply_updates(state.params_d2, upd2)
+            logs.update(d2_aux)
+
+        # ---- G update: losses on the SHARED forward outputs vs updated D;
+        # cotangents pulled back through the stored vjp ----
+        def g_loss_outputs(outs, train_direct):
+            fake_o, lats_o, aligns_o = outs
+            total = jnp.zeros(())
+            aux = {}
+            if do_d:
+                d_apply = lambda f: self.net_d.apply({"params": new_d}, f)[0]
+                if self.use_remat:
+                    d_apply = jax.checkpoint(d_apply)
+                l_g = self.cri_gan(d_apply(fake_o), True, is_disc=False)
+                aux["l_g"] = l_g
+                total += l_g
+            if do_d2:
+                fake_lat_pred, _ = self.net_d2.apply({"params": new_d2},
+                                                     lats_o)
+                l_lg = self.cri_gan(fake_lat_pred, True, is_disc=False)
+                aux["l_latent_g"] = l_lg
+                total += l_lg
+            if self.cri_id is not None:
+                shape5 = (b, k) + fake_o.shape[1:]
+                id_fn = lambda f: self.cri_id(
+                    state.loss_net_params["id"], f,
+                    gt.reshape(shape5), x.reshape(shape5),
+                    mimo_id=self.is_mimo, score=batch.get("lq_size"))
+                if self.use_remat:
+                    id_fn = jax.checkpoint(id_fn)
+                l_id, l_ref = id_fn(fake_o.reshape(shape5))
+                aux["l_id_target"] = l_id
+                total += l_id + l_ref
+            if self.cri_pix is not None:
+                l_pix = self.cri_pix(fake_o, gt)
+                aux["l_pix"] = l_pix
+                total += l_pix
+            if self.cri_perceptual is not None:
+                percep_fn = lambda f: self.cri_perceptual(
+                    state.loss_net_params["vgg"], f, gt)
+                if self.use_remat:
+                    percep_fn = jax.checkpoint(percep_fn)
+                l_p, l_s = percep_fn(fake_o)
+                if l_p is not None:
+                    aux["l_percep"] = l_p
+                    total += l_p
+                if l_s is not None:
+                    aux["l_style"] = l_s
+                    total += l_s
+            if self.cri_latent_reg is not None:
+                l_lr = self.cri_latent_reg(
+                    train_direct["delta_latent"],
+                    jnp.zeros_like(train_direct["delta_latent"]))
+                aux["l_latent_reg"] = l_lr
+                total += l_lr
+            if self.cri_mask is not None and aligns_o:
+                l_bin, l_area = self.cri_mask(aligns_o)
+                aux["l_bin"] = l_bin
+                aux["l_area"] = l_area
+                total += l_bin + l_area
+            aux["l_total"] = total
+            return total, aux
+
+        (_, g_aux), (cot_outs, direct_grads) = jax.value_and_grad(
+            g_loss_outputs, argnums=(0, 1), has_aux=True)(
+                (fake, lats, aligns), state.params_g_train)
+        vjp_grads = g_vjp(cot_outs)[0]
+        g_grads = jax.tree_util.tree_map(jnp.add, vjp_grads, direct_grads)
+        upd_g, new_opt_g = self.tx_g().update(g_grads, state.opt_g,
+                                              state.params_g_train)
+        new_train_g = optax.apply_updates(state.params_g_train, upd_g)
+        logs.update(g_aux)
+
+        d = self.ema_decay
+        new_ema = jax.tree_util.tree_map(lambda e, pp: e * d + pp * (1 - d),
+                                         state.ema_train, new_train_g)
+        new_state = state.replace(
+            step=state.step + 1, params_g_train=new_train_g,
+            ema_train=new_ema, opt_g=new_opt_g, params_d=new_d,
+            opt_d=new_opt_d, params_d2=new_d2, opt_d2=new_opt_d2)
+        return new_state, logs
+
     def _g_phase(self, state: TrainState, batch, rng, *, mod_size: int,
                  stage: int, do_g_gan: bool, do_lat_gan: bool,
                  do_path_reg: bool):
@@ -628,6 +800,15 @@ class OODFaceGANModel:
                 "regularization will NEVER run (reference OOD gate, "
                 "OOD_faceGAN_model.py:761); set path_batch_shrink to enable")
             self._warned_path_reg = True
+
+        if self.fused_step and not do_path_reg and (do_d or do_d2):
+            key = ("fused", mod_size, stage, do_d, do_d2, do_r1_d, do_r1_d2)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(partial(
+                    self._fused_phase, mod_size=mod_size, stage=stage,
+                    do_d=do_d, do_d2=do_d2, do_r1_d=do_r1_d,
+                    do_r1_d2=do_r1_d2), donate_argnums=0)
+            return self._jit_cache[key](state, batch, rng)
 
         logs = {}
         if do_d:

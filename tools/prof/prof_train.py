@@ -33,6 +33,9 @@ def run(dtype_str, label):
         opt["network_g"]["dtype"] = dtype_str
     # drop ckpt pointers (weights not present in this env)
     opt["train"]["id_opt"].pop("ckpt", None)
+    # PT_FUSED=0 -> the three split-phase programs (round-1 design) for the
+    # fused-vs-split same-session A/B
+    opt["train"]["fused_step"] = os.environ.get("PT_FUSED", "1") == "1"
     model = build_model(opt)
 
     rng = jax.random.PRNGKey(0)
