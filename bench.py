@@ -11,8 +11,11 @@ Prints ONE JSON line: {"metric", "value" (inversions/sec/chip), "unit",
 "vs_baseline"}. The reference repo publishes no numbers (BASELINE.md), so
 vs_baseline is measured against A100_EQUIV_BASELINE — an informed estimate of
 the torch reference on one A100 (StyleGAN2 1024px synthesis ~25ms + IR-SE-50
-encoder ~8ms + SAMM/blend ~7ms => ~25 img/s). Replace with a measured number
-when reference hardware is available.
+encoder ~8ms + SAMM/blend ~7ms => ~25 img/s). Measured same-host anchor
+(tools/prof/cpu_anchor.py, BASELINE.md round-2 table): on the identical CPU
+the torch reference runs the full pipeline at 79.3 s/img vs 70.0 s/img for
+this framework — the JAX rebuild is 1.13x the reference on equal hardware,
+so the A100 estimate is if anything generous to the reference.
 """
 
 import json
