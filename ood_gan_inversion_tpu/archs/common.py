@@ -25,6 +25,14 @@ _DECODE_REMAT = os.environ.get("OGI_DECODE_REMAT", "1") == "1"
 # Keep SAMM in fp32 when the arch runs bf16 (see the dtype-boundary note in
 # conditioned_decode); OGI_SAMM_FP32=0 lets SAMM follow the arch dtype.
 _SAMM_FP32 = os.environ.get("OGI_SAMM_FP32", "1") == "1"
+# Per-scale island experiment (round 2): STANDALONE slope-protocol profiling
+# (tools/prof/prof_samm_scales2.py) showed bf16 winning at the large SAMM
+# scales (256px: 5.25 vs 6.30 ms) — but the end-to-end A/B REGRESSED
+# (28.94 vs 25.78 ms/img with bf16 SAMM at 128/256px): in-pipeline the
+# boundary casts and lost fusion outweigh the standalone win, the same
+# standalone-vs-fused reversal round 1 hit three times (PERF.md). Default
+# therefore keeps the full fp32 island; the cutoff stays as a knob.
+_SAMM_FP32_MAX_RES = int(os.environ.get("OGI_SAMM_FP32_MAX_RES", "1024"))
 
 
 def cond_layers_for(mod_size: int, n_feats: int = 4):
@@ -87,7 +95,8 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
             # (gathers + InstanceNorm casts, PERF.md decomposition), so a
             # bf16 arch casts up at the SAMM boundary and back after.
             dt0 = out_c.dtype
-            if _SAMM_FP32 and dt0 == jnp.bfloat16:
+            if (_SAMM_FP32 and dt0 == jnp.bfloat16
+                    and out_c.shape[1] <= _SAMM_FP32_MAX_RES):
                 aligned_feat, align = mod(feat.astype(jnp.float32),
                                           lats[:, i].astype(jnp.float32),
                                           out_c.astype(jnp.float32),

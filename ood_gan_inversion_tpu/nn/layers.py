@@ -181,17 +181,31 @@ class InstanceNorm2d(nn.Module):
     affine: bool = False
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so the fused SAMM path can read
+        # .scale/.bias without invoking the module (same names/tree)
+        if self.affine:
+            self.scale = self.param("scale", nn.initializers.ones,
+                                    (self.channels,))
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.channels,))
+
     def __call__(self, x):
+        # single-pass moments: E[x] and E[x^2] reduce over the SAME input in
+        # one fused pass (jnp.var would first materialize x - mean, costing a
+        # second dependent full pass); biased var = E[x^2] - E[x]^2 matches
+        # torch InstanceNorm2d. fp32 accumulation for bf16 inputs.
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        y = ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        mean2 = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.eps)
         if self.affine:
-            scale = self.param("scale", nn.initializers.ones, (self.channels,))
-            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-            y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
-        return y
+            # fold affine into the normalize pass: one multiply-add total
+            k = rstd * self.scale.astype(jnp.float32)
+            b = self.bias.astype(jnp.float32) - mean * k
+            return (x32 * k + b).astype(x.dtype)
+        return ((x32 - mean) * rstd).astype(x.dtype)
 
 
 def norm_layer(kind, channels: int):

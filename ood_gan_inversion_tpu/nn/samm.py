@@ -32,7 +32,9 @@ from .irse import BottleneckIR
 from .stylegan2 import ModulatedConv2d, StyledConv, NoiseInjection
 from ..ops.upfirdn2d import make_kernel, blur as fir_blur
 from ..ops.grid_sample import grid_sample_bilinear
-from ..ops.pallas_kernels import conv3x3_act, conv3x3_act_supported
+from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
+                                  fused_alignnet_body0,
+                                  alignnet_body0_supported)
 from ..ops.resize import resize_bicubic_ac
 
 
@@ -79,6 +81,14 @@ class _XavierConv(nn.Module):
 # XLA's fusion of the IN/conv/PReLU chain and costs ~3.5 ms/img
 # (33.8 vs 30.2, PERF.md A/B) — default OFF; OGI_PALLAS_SAMM=1 enables.
 _PALLAS_SAMM = os.environ.get("OGI_PALLAS_SAMM", "0") == "1"
+# Whole-bottleneck fused kernel (round 2): entry-IN + concat + norm1 +
+# conv1 + PReLU + conv2 + norm2-stats in two Pallas calls + two XLA passes
+# (ops/pallas_kernels.py fused_alignnet_body0) — the larger fused region
+# PERF.md's round-1 analysis called for. Parity-tested; end-to-end A/B
+# LOST (29.1 vs 25.6 ms/img — the pad pre-copies and 16 custom-call
+# fusion barriers per image outweigh the VMEM-residency win, the same
+# reversal as every per-op SAMM kernel). Default OFF; OGI_SAMM_FUSED=1.
+_SAMM_FUSED = os.environ.get("OGI_SAMM_FUSED", "0") == "1"
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -128,6 +138,16 @@ class _XavierBottleneckIR(nn.Module):
         res = self.norm2(res)
         return res + shortcut
 
+    def fused_entry(self, source, target, diff_f_and_g: bool):
+        """AlignNet entry-IN + concat + this bottleneck as the fused Pallas
+        op (identity-shortcut case only: in_ch == depth = 2C). source/target
+        are the RAW C-channel features, pre-entry-IN."""
+        assert self.in_ch == self.depth, "fused path needs identity shortcut"
+        return fused_alignnet_body0(
+            source, target, self.norm1.scale, self.norm1.bias,
+            self.conv1.weight, self.prelu, self.conv2.weight,
+            self.norm2.scale, self.norm2.bias, diff_f_and_g)
+
 
 class AlignNet(nn.Module):
     """(dx, dy, alpha) predictor (SAMM/helpers.py:85-109)."""
@@ -137,13 +157,23 @@ class AlignNet(nn.Module):
 
     @nn.compact
     def __call__(self, source, target):
-        norm = InstanceNorm2d(self.in_ch, affine=False, name="norm")
-        source, target = norm(source), norm(target)
-        if self.diff_f_and_g:
-            h = jnp.concatenate([source - target, target], axis=-1)
+        body0 = _XavierBottleneckIR(self.in_ch * 2, self.in_ch * 2,
+                                    name="body0")
+        if _SAMM_FUSED and alignnet_body0_supported(
+                source.shape[1], source.shape[2], self.in_ch):
+            h = body0.fused_entry(source, target, self.diff_f_and_g)
         else:
-            h = jnp.concatenate([source, target], axis=-1)
-        h = _XavierBottleneckIR(self.in_ch * 2, self.in_ch * 2, name="body0")(h)
+            norm = InstanceNorm2d(self.in_ch, affine=False, name="norm")
+            # one batch-stacked IN instead of two (per-sample stats are
+            # independent, so norm(stack) == stack(norms))
+            b = source.shape[0]
+            st = norm(jnp.concatenate([source, target], axis=0))
+            source, target = st[:b], st[b:]
+            if self.diff_f_and_g:
+                h = jnp.concatenate([source - target, target], axis=-1)
+            else:
+                h = jnp.concatenate([source, target], axis=-1)
+            h = body0(h)
         h = _XavierBottleneckIR(self.in_ch * 2, 3, name="body1")(h)
         dx = jnp.tanh(h[..., 0:1]) * self.scale
         dy = jnp.tanh(h[..., 1:2]) * self.scale

@@ -543,3 +543,326 @@ def _c3a_bwd(act, res, g):
 
 
 conv3x3_act.defvjp(_c3a_fwd, _c3a_bwd)
+
+
+# -------------------------------------------------- fused AlignNet body0
+#
+# The SAMM AlignNet head (SAMM/helpers.py:85-109 feeding the scaleNshiftBlock
+# bottleneck at :58-60) is: IN(source), IN(target) -> concat([s-t, t]) ->
+# IN_affine -> conv3x3(2C->2C) -> PReLU -> conv3x3(2C->2C) -> IN_affine ->
+# + concat shortcut. In XLA every arrow is an HBM round trip of a 2C-channel
+# tensor (67 MB at 256px fp32 — PERF.md round-1 decomposition). The fused op
+# collapses the whole pre-conv normalization algebra into 5 per-(batch,
+# channel) scalars (every IN/concat step is per-channel affine given the
+# input moments), so the chain becomes:
+#   1. ONE XLA pass over (s, t): the 5 joint moments E[s],E[t],E[s2],E[t2],
+#      E[st] -> the affine coefficients.
+#   2. Pallas kernel A: build x1 = norm1(concat) in VMEM from the
+#      coefficients (the 2C concat tensor never hits HBM), conv1 + PReLU.
+#   3. Pallas kernel B: conv2 + the output moment partials (norm2's stats,
+#      accumulated in fp32 on the MXU accumulator — no extra pass).
+#   4. ONE XLA epilogue pass: norm2 affine + the concat-shortcut add
+#      (recomputed elementwise from s, t — cheaper than storing it).
+# The backward rematerializes through the XLA reference (same policy as
+# fused_packed_pair). On TPU the kernels run bf16 tap dots with fp32
+# accumulation — identical precision to XLA's default fp32-conv lowering the
+# unfused path uses.
+
+
+def _an_conv1_kernel(s_ref, t_ref, c_ref, k_ref, a_ref, z_ref, x_scr,
+                     *, band: int):
+    """Kernel A: x1 from affine coefficients (VMEM-only), conv1, PReLU.
+    Blocks: s/t (1, band+2, W+2, C) [pre-padded 1], c (1, 5, C) fp32
+    [as, at, b1, ct, b2], k (3, 3, 2C, 2C), a (1, 2C) PReLU slopes,
+    z out (1, band, W, 2C); x_scr VMEM (band+2, W+2, 2C)."""
+    f32 = jnp.float32
+    c = s_ref.shape[-1]
+    w = z_ref.shape[2]
+    t = band
+    i = pl.program_id(1)
+    ht = pl.num_programs(1) * t
+
+    sv = s_ref[0].astype(f32)
+    tv = t_ref[0].astype(f32)
+    as_ = c_ref[0, 0].astype(f32)
+    at_ = c_ref[0, 1].astype(f32)
+    b1_ = c_ref[0, 2].astype(f32)
+    ct_ = c_ref[0, 3].astype(f32)
+    b2_ = c_ref[0, 4].astype(f32)
+    h1 = sv * as_ + tv * at_ + b1_
+    h2 = tv * ct_ + b2_
+    # conv1's zero padding applies to x1: the ring outside the array is 0,
+    # NOT the affine image of the zero-padded s/t
+    sh = (t + 2, w + 2, 1)
+    rows = lax.broadcasted_iota(jnp.int32, sh, 0) + i * t - 1
+    cols = lax.broadcasted_iota(jnp.int32, sh, 1) - 1
+    valid = (rows >= 0) & (rows < ht) & (cols >= 0) & (cols < w)
+    zero = jnp.zeros_like(h1)
+    x_scr[:, :, :c] = jnp.where(valid, h1, zero).astype(x_scr.dtype)
+    x_scr[:, :, c:] = jnp.where(valid, h2, zero).astype(x_scr.dtype)
+
+    c2 = 2 * c
+    acc = jnp.zeros((t * w, c2), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = x_scr[dy:dy + t, dx:dx + w, :].reshape(t * w, c2)
+            acc = acc + jnp.dot(patch, k_ref[dy, dx],
+                                preferred_element_type=f32)
+    a = a_ref[0].astype(f32)
+    out = jnp.where(acc >= 0, acc, a * acc)
+    z_ref[0] = out.astype(z_ref.dtype).reshape(t, w, c2)
+
+
+def _an_conv2_kernel(z_ref, k_ref, y_ref, p_ref, *, band: int):
+    """Kernel B: conv2 + fp32 moment partials of the output (for norm2).
+    Blocks: z (1, band+2, W+2, C2) [pre-padded 1], k (3, 3, C2, C2),
+    y out (1, band, W, C2) fp32, p out (1, 2, C2) fp32 accumulated across
+    the band grid dimension (same block revisited; i==0 initializes)."""
+    f32 = jnp.float32
+    c2 = k_ref.shape[-1]
+    w = y_ref.shape[2]
+    t = band
+    i = pl.program_id(1)
+
+    acc = jnp.zeros((t * w, c2), f32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = z_ref[0, dy:dy + t, dx:dx + w, :].reshape(t * w, c2)
+            acc = acc + jnp.dot(patch, k_ref[dy, dx],
+                                preferred_element_type=f32)
+    y_ref[0] = acc.astype(y_ref.dtype).reshape(t, w, c2)
+    part = jnp.stack([jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)])
+
+    @pl.when(i == 0)
+    def _():
+        p_ref[0] = part
+
+    @pl.when(i > 0)
+    def _():
+        p_ref[0] = p_ref[0] + part
+
+
+def _an_band_a(h: int, w: int, c: int, itemsize: int = 2,
+               budget: int = 10 * 2 ** 20):
+    c2 = 2 * c
+    for t in (32, 16, 8, 4, 2):
+        if h % t:
+            continue
+        est = (9 * c2 * c2 * itemsize            # k1 whole in VMEM
+               + 2 * (t + 2) * (w + 2) * c * itemsize   # s, t blocks
+               + (t + 2) * (w + 2) * c2 * itemsize      # x_scr
+               + t * w * c2 * 4                         # fp32 accumulator
+               + 3 * t * w * c2 * itemsize              # live tap patches
+               + t * w * c2 * itemsize)                 # z out
+        if est <= budget:
+            return t
+    return None
+
+
+def _an_band_b(h: int, w: int, c2: int, itemsize: int = 2,
+               budget: int = 10 * 2 ** 20):
+    for t in (32, 16, 8, 4, 2):
+        if h % t:
+            continue
+        est = (9 * c2 * c2 * itemsize
+               + (t + 2) * (w + 2) * c2 * itemsize      # z block
+               + t * w * c2 * 4                         # accumulator
+               + 3 * t * w * c2 * itemsize              # live tap patches
+               + t * w * c2 * 4)                        # y out (fp32)
+        if est <= budget:
+            return t
+    return None
+
+
+def alignnet_body0_supported(h: int, w: int, c: int,
+                             itemsize: int = 2) -> bool:
+    """The 3x3 weights are blocked whole into VMEM: 2C <= 512 (9*(2C)^2*2B
+    <= 4.7 MB); deeper scales (2C=1024 at 32/64px) stay on XLA."""
+    return (c >= 64 and 2 * c <= 512
+            and _an_band_a(h, w, c, itemsize) is not None
+            and _an_band_b(h, w, 2 * c, itemsize) is not None)
+
+
+def _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g: bool, eps: float):
+    """The 5 per-(b, c) affine coefficients + the shortcut tensor h.
+    Derivation: with s̄=(s-μs)·rsqrt(vs+eps), t̄ likewise (the AlignNet entry
+    IN), h = [s̄-t̄, t̄] (diff_f_and_g) and norm1 = IN_affine(γ1, β1); every
+    step is per-channel affine in (s, t) given the joint moments, and
+    E[s̄-t̄]=E[t̄]=0 exactly, so norm1(h) = [as·s+at·t+b1h, ct·t+b2h]."""
+    c = s32.shape[-1]
+    es = jnp.mean(s32, axis=(1, 2))
+    et = jnp.mean(t32, axis=(1, 2))
+    ess = jnp.mean(s32 * s32, axis=(1, 2))
+    ett = jnp.mean(t32 * t32, axis=(1, 2))
+    est = jnp.mean(s32 * t32, axis=(1, 2))
+    vs = jnp.maximum(ess - es * es, 0.0)
+    vt = jnp.maximum(ett - et * et, 0.0)
+    inv_s = jax.lax.rsqrt(vs + eps)
+    inv_t = jax.lax.rsqrt(vt + eps)
+    ga, gb = g1[:c].astype(jnp.float32), g1[c:].astype(jnp.float32)
+    ba, bb = b1[:c].astype(jnp.float32), b1[c:].astype(jnp.float32)
+    if diff_f_and_g:
+        # var(s̄-t̄) = E[s̄²] + E[t̄²] - 2E[s̄t̄] (zero-mean)
+        cov = est - es * et
+        vd = jnp.maximum(vs * inv_s * inv_s + vt * inv_t * inv_t
+                         - 2.0 * cov * inv_s * inv_t, 0.0)
+        rd = jax.lax.rsqrt(vd + eps)
+        as_ = inv_s * rd * ga
+        at_ = -inv_t * rd * ga
+        b1h = (et * inv_t - es * inv_s) * rd * ga + ba
+    else:
+        r1 = jax.lax.rsqrt(vs * inv_s * inv_s + eps)
+        as_ = inv_s * r1 * ga
+        at_ = jnp.zeros_like(as_)
+        b1h = -es * inv_s * r1 * ga + ba
+    r2 = jax.lax.rsqrt(vt * inv_t * inv_t + eps)
+    ct_ = inv_t * r2 * gb
+    b2h = -et * inv_t * r2 * gb + bb
+    coeffs = jnp.stack([as_, at_, b1h, ct_, b2h], axis=1)  # (B, 5, C)
+
+    sn = (s32 - es[:, None, None, :]) * inv_s[:, None, None, :]
+    tn = (t32 - et[:, None, None, :]) * inv_t[:, None, None, :]
+    h1 = sn - tn if diff_f_and_g else sn
+    return coeffs, h1, tn
+
+
+def alignnet_body0_reference(s, t, g1, b1, k1, alpha, k2, g2, b2,
+                             diff_f_and_g: bool = True, eps: float = 1e-5):
+    """XLA oracle / custom_vjp backward: the exact module-path math
+    (nn/samm.py AlignNet entry IN + _XavierBottleneckIR body0)."""
+
+    def inorm(x, gamma=None, beta=None):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        mean2 = jnp.mean(x * x, axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        if gamma is not None:
+            y = y * gamma.astype(y.dtype) + beta.astype(y.dtype)
+        return y
+
+    def conv(v, k):
+        return lax.conv_general_dilated(
+            v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
+    sn, tn = inorm(s32), inorm(t32)
+    h = jnp.concatenate([sn - tn, tn] if diff_f_and_g else [sn, tn], axis=-1)
+    x1 = inorm(h, g1, b1)
+    z = conv(x1, k1)
+    z = jnp.where(z >= 0, z, alpha.reshape(1, 1, 1, -1).astype(z.dtype) * z)
+    y2 = conv(z, k2)
+    return (inorm(y2, g2, b2) + h).astype(s.dtype)
+
+
+def _alignnet_pallas(s, t, coeffs, k1, alpha, k2, band_a: int, band_b: int,
+                     cast_bf16: bool, interpret: bool = False):
+    bsz, h, w, c = s.shape
+    c2 = 2 * c
+    cdt = jnp.bfloat16 if cast_bf16 else s.dtype
+    pad1 = lambda v: jnp.pad(v, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    sp = pad1(s.astype(cdt))
+    tp = pad1(t.astype(cdt))
+    elem = lambda sizes: tuple(pl.Element(sz) for sz in sizes)
+
+    ta = band_a
+    z = pl.pallas_call(
+        functools.partial(_an_conv1_kernel, band=ta),
+        grid=(bsz, h // ta),
+        in_specs=[
+            pl.BlockSpec(elem((1, ta + 2, w + 2, c)),
+                         lambda b, i: (b, i * ta, 0, 0)),
+            pl.BlockSpec(elem((1, ta + 2, w + 2, c)),
+                         lambda b, i: (b, i * ta, 0, 0)),
+            pl.BlockSpec((1, 5, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((3, 3, c2, c2), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, c2), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(elem((1, ta, w, c2)),
+                               lambda b, i: (b, i * ta, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c2), cdt),
+        scratch_shapes=[pltpu.VMEM((ta + 2, w + 2, c2), cdt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * w * c2 * c2, transcendentals=0,
+            bytes_accessed=(2 * s.size + bsz * h * w * c2) * 4),
+        interpret=interpret,
+    )(sp, tp, coeffs, k1.astype(cdt), alpha[None].astype(cdt))
+
+    tb = band_b
+    y2, part = pl.pallas_call(
+        functools.partial(_an_conv2_kernel, band=tb),
+        grid=(bsz, h // tb),
+        in_specs=[
+            pl.BlockSpec(elem((1, tb + 2, w + 2, c2)),
+                         lambda b, i: (b, i * tb, 0, 0)),
+            pl.BlockSpec((3, 3, c2, c2), lambda b, i: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(elem((1, tb, w, c2)),
+                         lambda b, i: (b, i * tb, 0, 0)),
+            pl.BlockSpec((1, 2, c2), lambda b, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 2, c2), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * w * c2 * c2, transcendentals=0,
+            bytes_accessed=(2 * bsz * h * w * c2) * 4),
+        interpret=interpret,
+    )(pad1(z), k2.astype(cdt))
+    return y2, part
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
+                         diff_f_and_g: bool = True):
+    """Fused SAMM AlignNet entry + body0 bottleneck (see the section note).
+
+    s: (B, H, W, C) raw generator feature (pre-entry-IN); t: (B, H, W, C)
+    raw encoder feature; g1/b1 (2C,) norm1 affine; k1 (3, 3, 2C, 2C);
+    alpha (2C,) PReLU slopes; k2 (3, 3, 2C, 2C); g2/b2 (2C,) norm2 affine.
+    Returns the bottleneck output norm2(conv2(prelu(conv1(norm1(h))))) + h
+    in s.dtype. Gate calls on alignnet_body0_supported()."""
+    eps = 1e-5
+    bsz, hh, ww, c = s.shape
+    s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
+    coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g, eps)
+    band_a = _an_band_a(hh, ww, c, 2)
+    band_b = _an_band_b(hh, ww, 2 * c, 2)
+    if band_a is None or band_b is None:
+        return alignnet_body0_reference(s, t, g1, b1, k1, alpha, k2, g2, b2,
+                                        diff_f_and_g, eps)
+
+    run = functools.partial(_alignnet_pallas, band_a=band_a, band_b=band_b)
+    y2, part = jax.lax.platform_dependent(
+        s, t, coeffs, k1, alpha, k2,
+        # on CPU (flax init traces there; the test suite) interpret in the
+        # input dtype; on TPU cast the tap dots to bf16 — the same precision
+        # XLA's default fp32-conv lowering gives the unfused path
+        cpu=functools.partial(run, cast_bf16=False, interpret=True),
+        default=functools.partial(run, cast_bf16=True))
+
+    n = hh * ww
+    mu2 = part[:, 0] / n
+    v2 = jnp.maximum(part[:, 1] / n - mu2 * mu2, 0.0)
+    kk = (jax.lax.rsqrt(v2 + eps) * g2.astype(jnp.float32))[:, None, None, :]
+    bb = (b2.astype(jnp.float32)[None, :] - mu2 * jax.lax.rsqrt(v2 + eps)
+          * g2.astype(jnp.float32))[:, None, None, :]
+    h = jnp.concatenate([h1, h2], axis=-1)
+    return (y2 * kk + bb + h).astype(s.dtype)
+
+
+def _fab_fwd(s, t, g1, b1, k1, alpha, k2, g2, b2, diff_f_and_g):
+    out = fused_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
+                               diff_f_and_g)
+    return out, (s, t, g1, b1, k1, alpha, k2, g2, b2)
+
+
+def _fab_bwd(diff_f_and_g, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: alignnet_body0_reference(*a, diff_f_and_g), *res)
+    return vjp(g)
+
+
+fused_alignnet_body0.defvjp(_fab_fwd, _fab_bwd)

@@ -1,0 +1,109 @@
+"""In-pipeline SAMM decomposition by graph surgery: time the FULL 1024px
+inversion pipeline with individual SAMM sub-computations stubbed out, at
+batch 1 and 4 (the batch-collapse workload). Per-op timings on this box are
+untrustworthy (PERF.md); only whole-pipeline deltas are comparable."""
+import os, sys, time
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+import numpy as np
+import jax, jax.numpy as jnp
+
+import ood_gan_inversion_tpu.nn.samm as samm
+from ood_gan_inversion_tpu.archs import build_network
+
+tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+cpu = jax.devices("cpu")[0]
+print("device:", tpu, file=sys.stderr)
+
+DTYPE = os.environ.get("DT", "bfloat16")
+BATCHES = [int(b) for b in os.environ.get("BATCHES", "1,4").split(",")]
+VARIANTS = os.environ.get(
+    "VARIANTS", "full,cycle1,nobody0,nobody1,noblur,nowarp,nomerge").split(",")
+
+OPT = {
+    "type": "ood_faceGAN_e4e", "out_size": 1024, "style_dim": 512,
+    "encoder": "E4E", "enable_modulation": True, "modulation_type": "NOISE",
+    "warp_scale": 0.08, "cycle_align": 2, "blend_with_gen": True,
+    "dtype": DTYPE,
+}
+
+_orig_btn_call = samm._XavierBottleneckIR.__call__
+_orig_body1 = None
+_orig_blur = samm.fir_blur
+_orig_warp = samm.grid_sample_bilinear
+_orig_upadd = samm.SPMWarp._upsample_add
+
+
+def restore():
+    samm._XavierBottleneckIR.__call__ = _orig_btn_call
+    samm.fir_blur = _orig_blur
+    samm.grid_sample_bilinear = _orig_warp
+    samm.SPMWarp._upsample_add = _orig_upadd
+    samm.AlignNet.__call__ = _orig_alignnet_call
+
+
+_orig_alignnet_call = samm.AlignNet.__call__
+
+
+def apply_variant(name, opt):
+    restore()
+    if name == "cycle1":
+        opt = dict(opt, cycle_align=1)
+    elif name == "nobody0":
+        def btn(self, x):
+            if self.in_ch == self.depth:
+                return x  # body0 (2C->2C) becomes identity
+            return _orig_btn_call(self, x)
+        samm._XavierBottleneckIR.__call__ = btn
+    elif name == "nobody1":
+        def btn(self, x):
+            if self.in_ch != self.depth:
+                return x[..., :3]  # body1 (2C->3) becomes a slice
+            return _orig_btn_call(self, x)
+        samm._XavierBottleneckIR.__call__ = btn
+    elif name == "noblur":
+        samm.fir_blur = lambda x, k, pad: x
+    elif name == "nowarp":
+        samm.grid_sample_bilinear = lambda target, grid: target
+    elif name == "nomerge":
+        samm.SPMWarp._upsample_add = lambda self, coarse, align: align
+    return opt
+
+
+def run(name):
+    opt = apply_variant(name, OPT)
+    net = build_network(opt)
+    rng = jax.random.PRNGKey(0)
+    with jax.default_device(cpu):
+        variables = net.init({"params": rng, "noise": rng},
+                             jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+    params = jax.device_put(variables["params"], tpu)
+    fwd = jax.jit(lambda p, xx, k: net.apply({"params": p}, xx, mod_size=256,
+                                             rngs={"noise": k}))
+    for b in BATCHES:
+        x_host = np.random.RandomState(0).randn(b, 1024, 1024, 3).astype(
+            np.float32)
+        x = jax.device_put(jnp.asarray(x_host), tpu)
+        t0 = time.time()
+        out = fwd(params, x, jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+        comp = time.time() - t0
+        iters = max(4, 16 // b)
+        for i in range(2):
+            out = fwd(params, x, jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        best = 1e9
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = fwd(params, x, jax.random.PRNGKey(100 + w * iters + i))
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        ms = best * 1000
+        print(f"{name:10s} b={b}  {ms:8.1f} ms/step  {ms / b:7.2f} ms/img  "
+              f"(compile {comp:.0f}s)", file=sys.stderr)
+
+
+for v in VARIANTS:
+    run(v)
+restore()
