@@ -34,6 +34,7 @@ from ..ops.upfirdn2d import make_kernel, blur as fir_blur
 from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
                                   fused_alignnet_body0,
+                                  algebraic_alignnet_body0,
                                   alignnet_body0_supported)
 from ..ops.resize import resize_bicubic_ac
 
@@ -89,6 +90,10 @@ _PALLAS_SAMM = os.environ.get("OGI_PALLAS_SAMM", "0") == "1"
 # fusion barriers per image outweigh the VMEM-residency win, the same
 # reversal as every per-op SAMM kernel). Default OFF; OGI_SAMM_FUSED=1.
 _SAMM_FUSED = os.environ.get("OGI_SAMM_FUSED", "0") == "1"
+# The same moments-folding algebra in PURE XLA (no custom-call barriers):
+# skips the entry-IN materializations, the 2C concat, and norm1's stats
+# pass. OGI_SAMM_ALGEBRAIC=0 falls back to the literal module dataflow.
+_SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -138,15 +143,17 @@ class _XavierBottleneckIR(nn.Module):
         res = self.norm2(res)
         return res + shortcut
 
-    def fused_entry(self, source, target, diff_f_and_g: bool):
-        """AlignNet entry-IN + concat + this bottleneck as the fused Pallas
-        op (identity-shortcut case only: in_ch == depth = 2C). source/target
-        are the RAW C-channel features, pre-entry-IN."""
+    def fused_entry(self, source, target, diff_f_and_g: bool,
+                    use_pallas: bool):
+        """AlignNet entry-IN + concat + this bottleneck as one fused op
+        (identity-shortcut case only: in_ch == depth = 2C). source/target
+        are the RAW C-channel features, pre-entry-IN. use_pallas selects
+        the Pallas kernels vs the pure-XLA algebraic formulation."""
         assert self.in_ch == self.depth, "fused path needs identity shortcut"
-        return fused_alignnet_body0(
-            source, target, self.norm1.scale, self.norm1.bias,
-            self.conv1.weight, self.prelu, self.conv2.weight,
-            self.norm2.scale, self.norm2.bias, diff_f_and_g)
+        op = fused_alignnet_body0 if use_pallas else algebraic_alignnet_body0
+        return op(source, target, self.norm1.scale, self.norm1.bias,
+                  self.conv1.weight, self.prelu, self.conv2.weight,
+                  self.norm2.scale, self.norm2.bias, diff_f_and_g)
 
 
 class AlignNet(nn.Module):
@@ -161,7 +168,11 @@ class AlignNet(nn.Module):
                                     name="body0")
         if _SAMM_FUSED and alignnet_body0_supported(
                 source.shape[1], source.shape[2], self.in_ch):
-            h = body0.fused_entry(source, target, self.diff_f_and_g)
+            h = body0.fused_entry(source, target, self.diff_f_and_g,
+                                  use_pallas=True)
+        elif _SAMM_ALGEBRAIC:
+            h = body0.fused_entry(source, target, self.diff_f_and_g,
+                                  use_pallas=False)
         else:
             norm = InstanceNorm2d(self.in_ch, affine=False, name="norm")
             # one batch-stacked IN instead of two (per-sample stats are

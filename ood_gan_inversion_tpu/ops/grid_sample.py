@@ -61,6 +61,32 @@ def _grid_sample_gather4(x, grid):
             tap(y1, x0) * w10 + tap(y1, x1) * w11)
 
 
+def _grid_sample_gather4_flat(x, grid):
+    """gather4 with the batch axis FOLDED INTO the gather row index: one
+    2-D (N*H*W, C) operand and global row ids instead of
+    operand_batching_dims — probes whether XLA's batched-gather lowering is
+    what collapses at batch>1."""
+    n, h, w, c = x.shape
+    gh, gw = grid.shape[1], grid.shape[2]
+    x0, y0, wx, wy = _coords(x, grid)
+    x1, y1 = x0 + 1, y0 + 1
+    src = x.reshape(n * h * w, c)
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = (base + jnp.clip(yi, 0, h - 1) * w
+                + jnp.clip(xi, 0, w - 1)).reshape(n * gh * gw)
+        vals = jnp.take(src, flat, axis=0,
+                        indices_are_sorted=False, unique_indices=False)
+        vals = vals.reshape(n, gh, gw, c)
+        return vals * valid[..., None].astype(x.dtype)
+
+    w00, w01, w10, w11 = [v[..., None] for v in _weights(wx, wy)]
+    return (tap(y0, x0) * w00 + tap(y0, x1) * w01 +
+            tap(y1, x0) * w10 + tap(y1, x1) * w11)
+
+
 def _grid_sample_patch(x, grid):
     """One gather of the (2, 2, C) support per output pixel from a 1-padded
     operand; per-tap validity masks reproduce the zero padding for taps the
@@ -110,4 +136,10 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """
     if _MODE == "patch":
         return _grid_sample_patch(x, grid)
+    if _MODE == "gather4flat":
+        return _grid_sample_gather4_flat(x, grid)
+    if _MODE == "gather4bf16":
+        # halve the gather bytes: fetch taps in bf16, blend in x.dtype
+        out = _grid_sample_gather4(x.astype(jnp.bfloat16), grid)
+        return out.astype(x.dtype)
     return _grid_sample_gather4(x, grid)

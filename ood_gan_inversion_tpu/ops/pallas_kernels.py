@@ -755,6 +755,40 @@ def alignnet_body0_reference(s, t, g1, b1, k1, alpha, k2, g2, b2,
     return (inorm(y2, g2, b2) + h).astype(s.dtype)
 
 
+def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
+                             diff_f_and_g: bool = True, eps: float = 1e-5):
+    """The SAME moments-folding algebra as fused_alignnet_body0 but in pure
+    XLA: no custom-call fusion barriers, no pad pre-copies, autodiff'able.
+    vs the module path it skips the entry-IN materializations (the affine
+    coefficients absorb them), the 2C concat (conv1 splits into two summed
+    convs over the halves), and norm1's extra stats pass. The norm2 +
+    shortcut epilogue recomputes h elementwise from (s, t) — XLA fuses it
+    with the y2 moments pass."""
+    c = s.shape[-1]
+    s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
+    coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g, eps)
+    as_, at_, b1h, ct_, b2h = [coeffs[:, i][:, None, None, :]
+                               for i in range(5)]
+    x1a = (as_ * s32 + at_ * t32 + b1h).astype(s.dtype)
+    x1b = (ct_ * t32 + b2h).astype(s.dtype)
+
+    def conv(v, k):
+        return lax.conv_general_dilated(
+            v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
+    z = jnp.where(z >= 0, z, alpha.reshape(1, 1, 1, -1).astype(z.dtype) * z)
+    y2 = conv(z, k2).astype(jnp.float32)
+    mu2 = jnp.mean(y2, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(y2 * y2, axis=(1, 2), keepdims=True)
+    v2 = jnp.maximum(m2 - mu2 * mu2, 0.0)
+    kk = jax.lax.rsqrt(v2 + eps) * g2.astype(jnp.float32)
+    bb = b2.astype(jnp.float32) - mu2 * kk
+    h = jnp.concatenate([h1, h2], axis=-1)
+    return (y2 * kk + bb + h).astype(s.dtype)
+
+
 def _alignnet_pallas(s, t, coeffs, k1, alpha, k2, band_a: int, band_b: int,
                      cast_bf16: bool, interpret: bool = False):
     bsz, h, w, c = s.shape

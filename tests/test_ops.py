@@ -222,3 +222,20 @@ def test_minibatch_stddev_vs_torch():
 
 def test_devices_are_virtual_8():
     assert len(jax.devices()) == 8
+
+
+def test_grid_sample_modes_agree():
+    from ood_gan_inversion_tpu.ops.grid_sample import (
+        _grid_sample_gather4, _grid_sample_gather4_flat, _grid_sample_patch)
+    rng = np.random.RandomState(13)
+    x = rng.randn(3, 16, 16, 4).astype(np.float32)
+    lin = np.linspace(-1, 1, 16, dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    flow = rng.randn(3, 16, 16, 2).astype(np.float32) * 0.2
+    grid = jnp.asarray(np.stack([gx, gy], axis=-1)[None] + flow)
+    ref = _grid_sample_gather4(jnp.asarray(x), grid)
+    for fn in (_grid_sample_gather4_flat, _grid_sample_patch):
+        got = fn(jnp.asarray(x), grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=fn.__name__)

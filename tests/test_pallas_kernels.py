@@ -220,3 +220,58 @@ def test_alignnet_module_fused_matches_unfused(monkeypatch):
     got = net.apply(params, s, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("diff", [True, False])
+def test_algebraic_alignnet_body0_matches_reference(diff):
+    from ood_gan_inversion_tpu.ops.pallas_kernels import (
+        algebraic_alignnet_body0, alignnet_body0_reference)
+    rs = np.random.RandomState(11)
+    b, h, c = 2, 16, 64
+    s = jnp.asarray(rs.randn(b, h, h, c).astype(np.float32))
+    t = jnp.asarray((rs.randn(b, h, h, c) * 2 + 0.3).astype(np.float32))
+    c2 = 2 * c
+    g1 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b1 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    k1 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    al = jnp.asarray(rs.rand(c2).astype(np.float32) * 0.5)
+    k2 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    g2 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b2 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    args = (s, t, g1, b1, k1, al, k2, g2, b2)
+    ref = alignnet_body0_reference(*args, diff)
+    got = algebraic_alignnet_body0(*args, diff)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # pure-XLA path is plainly differentiable — grads vs the reference
+    gf = jax.grad(lambda *v: jnp.sum(
+        algebraic_alignnet_body0(*v, diff) ** 2),
+        argnums=tuple(range(9)))(*args)
+    gr = jax.grad(lambda *v: jnp.sum(
+        alignnet_body0_reference(*v, diff) ** 2),
+        argnums=tuple(range(9)))(*args)
+    for ga, gb in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_alignnet_module_algebraic_matches_unfused(monkeypatch):
+    import ood_gan_inversion_tpu.nn.samm as samm_mod
+    from ood_gan_inversion_tpu.nn.samm import AlignNet
+    rs = np.random.RandomState(12)
+    s = jnp.asarray(rs.randn(2, 16, 16, 64).astype(np.float32))
+    t = jnp.asarray(rs.randn(2, 16, 16, 64).astype(np.float32))
+    net = AlignNet(64, scale=0.08)
+    monkeypatch.setattr(samm_mod, "_SAMM_FUSED", False)
+    monkeypatch.setattr(samm_mod, "_SAMM_ALGEBRAIC", False)
+    params = net.init(jax.random.PRNGKey(0), s, t)
+    ref = net.apply(params, s, t)
+    monkeypatch.setattr(samm_mod, "_SAMM_ALGEBRAIC", True)
+    params2 = net.init(jax.random.PRNGKey(0), s, t)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params2)
+    got = net.apply(params, s, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
