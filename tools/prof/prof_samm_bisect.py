@@ -34,19 +34,41 @@ _orig_warp = samm.grid_sample_bilinear
 _orig_upadd = samm.SPMWarp._upsample_add
 
 
+from ood_gan_inversion_tpu.nn import layers as _layers
+_orig_in_call = _layers.InstanceNorm2d.__call__
+
+
 def restore():
     samm._XavierBottleneckIR.__call__ = _orig_btn_call
     samm.fir_blur = _orig_blur
     samm.grid_sample_bilinear = _orig_warp
     samm.SPMWarp._upsample_add = _orig_upadd
     samm.AlignNet.__call__ = _orig_alignnet_call
+    samm.SPMWarp.__call__ = _orig_spm_call
+    _layers.InstanceNorm2d.__call__ = _orig_in_call
 
 
 _orig_alignnet_call = samm.AlignNet.__call__
+_orig_spm_call = samm.SPMWarp.__call__
 
 
 def apply_variant(name, opt):
     restore()
+    if name.startswith("noscale"):
+        # stub the whole SPMWarp at ONE resolution: identity target, zero
+        # flow, alpha 0.5 — locates WHICH scale the batch collapse lives at
+        size = int(name[len("noscale"):])
+
+        def spm(self, source, target, aligned_coarse=None):
+            if source.shape[1] != size:
+                return _orig_spm_call(self, source, target, aligned_coarse)
+            b, h, w, _ = source.shape
+            z = jnp.zeros((b, h, w, 1), source.dtype)
+            return target, jnp.concatenate(
+                [z, z, jnp.full((b, h, w, 1), 0.5, source.dtype)], axis=-1)
+
+        samm.SPMWarp.__call__ = spm
+        return opt
     if name == "cycle1":
         opt = dict(opt, cycle_align=1)
     elif name == "nobody0":
@@ -67,6 +89,12 @@ def apply_variant(name, opt):
         samm.grid_sample_bilinear = lambda target, grid: target
     elif name == "nomerge":
         samm.SPMWarp._upsample_add = lambda self, coarse, align: align
+    elif name == "nonorm":
+        # strip every SAMM InstanceNorm (entry + body norms) but keep the
+        # convs: isolates the reduction/cast soup from the MXU work.
+        # (requires OGI_SAMM_ALGEBRAIC=0 so the module path runs the INs)
+        from ood_gan_inversion_tpu.nn import layers
+        layers.InstanceNorm2d.__call__ = lambda self, x: x
     return opt
 
 
