@@ -618,8 +618,14 @@ class OODFaceGANModel:
                 aux["l_pix"] = l_pix
                 total += l_pix
             if self.cri_perceptual is not None:
-                percep_fn = lambda f: self.cri_perceptual(
-                    state.loss_net_params["vgg"], f, gt)
+                # gt features carry no gradient: extract them OUTSIDE the
+                # remat region so the backward does not recompute the gt
+                # VGG forward (pure waste, ~1/4 of the perceptual cost)
+                gfeat = jax.lax.stop_gradient(self.cri_perceptual.features(
+                    state.loss_net_params["vgg"], gt))
+                percep_fn = lambda f: self.cri_perceptual.compare(
+                    self.cri_perceptual.features(
+                        state.loss_net_params["vgg"], f), gfeat)
                 if self.use_remat:
                     percep_fn = jax.checkpoint(percep_fn)
                 l_p, l_s = percep_fn(fake_o)
@@ -736,8 +742,12 @@ class OODFaceGANModel:
                 aux["l_pix"] = l_pix
                 total += l_pix
             if self.cri_perceptual is not None:
-                percep_fn = lambda f: self.cri_perceptual(
-                    state.loss_net_params["vgg"], f, gt)
+                # no-grad gt branch outside the remat region (see fused phase)
+                gfeat = jax.lax.stop_gradient(self.cri_perceptual.features(
+                    state.loss_net_params["vgg"], gt))
+                percep_fn = lambda f: self.cri_perceptual.compare(
+                    self.cri_perceptual.features(
+                        state.loss_net_params["vgg"], f), gfeat)
                 if self.use_remat:
                     percep_fn = jax.checkpoint(percep_fn)
                 l_p, l_s = percep_fn(fake)

@@ -36,6 +36,8 @@ from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
                                   fused_alignnet_body0,
                                   algebraic_alignnet_body0,
                                   alignnet_body0_supported)
+from ..ops.pallas_warp import (mxu_warp_blend, mxu_warp_supported,
+                               max_disp_px)
 from ..ops.resize import resize_bicubic_ac
 
 
@@ -94,6 +96,11 @@ _SAMM_FUSED = os.environ.get("OGI_SAMM_FUSED", "0") == "1"
 # skips the entry-IN materializations, the 2C concat, and norm1's stats
 # pass. OGI_SAMM_ALGEBRAIC=0 falls back to the literal module dataflow.
 _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
+
+# Gather-free MXU warp (ops/pallas_warp.py) for SAMM scales >= MIN px —
+# XLA's gather is batch-flat at ~4.3 ms/img per 256px warp (PERF.md r2).
+_MXU_WARP = os.environ.get("OGI_MXU_WARP", "0") == "1"
+_MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -236,8 +243,13 @@ class SPMWarp(nn.Module):
                 accum = self._upsample_add(aligned_coarse, accum)
             dx, dy, alpha = accum[..., 0], accum[..., 1], accum[..., 2:3]
             grid = jnp.stack([base_x[None] + dx, base_y[None] + dy], axis=-1)
-            warped = grid_sample_bilinear(target, grid)
-            aligned_target = warped * alpha + target * (1.0 - alpha)
+            p = max_disp_px(self.scale, w)
+            if (_MXU_WARP and h >= _MXU_WARP_MIN
+                    and mxu_warp_supported(h, w, target.shape[-1], p)):
+                aligned_target = mxu_warp_blend(target, grid, alpha, p)
+            else:
+                warped = grid_sample_bilinear(target, grid)
+                aligned_target = warped * alpha + target * (1.0 - alpha)
         return aligned_target, accum
 
 

@@ -35,6 +35,7 @@ class VGGFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         if self.range_norm:
             x = (x + 1.0) / 2.0
         if self.use_input_norm:

@@ -1,0 +1,168 @@
+"""Gather-free MXU grid-sample for the SAMM warp (bounded displacement).
+
+XLA's gather lowering on TPU is element-rate-capped: the 4-tap bilinear
+fetch at the 256px SAMM scale measures ~4.3 ms/img REGARDLESS of batch,
+descriptor count (patch vs 4 taps) or dtype (tools/prof/prof_warp_modes.py)
+— it is the single batch-flat component behind the batch>1 throughput
+collapse (PERF.md round 2). This kernel avoids the gather hardware
+entirely by exploiting that SAMM flows are bounded (|dx|,|dy| <= warp
+scale, SAMM/helpers.py:100-107 tanh*scale then clip): every output pixel
+samples inside a +-P pixel window, so
+
+  * horizontal bilinear selection for one output row is a small matmul:
+    a sparse-2 selection matrix (W x Wp) built in VMEM from iota compares,
+    contracted on the MXU against the row window (Wp x KV*C) holding all
+    KV=2P+1 candidate source rows;
+  * vertical selection is then KV masked multiply-adds on (W, C) slices;
+  * the SPM alpha blend (aligned = warp*a + target*(1-a),
+    SAMM/helpers.py:170-177) rides along in the epilogue.
+
+The host pre-pads the feature by P (reproducing zero padding_mode) and
+lays it out as (B, Wp, Hp*C) so each row window is ONE static minor-dim
+slice — no in-kernel transposes. Weights are cast to the feature dtype for
+the dot (bf16 in the bf16 serving island) with fp32 accumulation;
+gradients go through a custom_vjp that recomputes the XLA reference
+formulation (consistent with the decode remat policy).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_sample import grid_sample_bilinear
+
+BAND = 8  # output rows per grid step
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def max_disp_px(scale: float, size: int) -> int:
+    """Largest |sample - output| pixel offset of floor(f)'s tap pair under
+    grid = linspace(-1,1) + flow, |flow| <= scale: the linspace-vs-pixel
+    drift contributes +-0.5 and the flow scale*size/2."""
+    return math.ceil(scale * size / 2.0 + 0.5) + 1
+
+
+def _warp_kernel(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
+                 w: int, c: int, p: int, band: int):
+    kv = 2 * p + 1
+    wp = xr_ref.shape[1]
+    fdt = jnp.float32
+    jj = lax.broadcasted_iota(jnp.int32, (w, wp), 1)
+
+    for r in range(band):
+        gx = gx_ref[0, r].astype(fdt)
+        gy = gy_ref[0, r].astype(fdt)
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * w - 1.0) * 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = fx - x0
+        wy = fy - y0
+        # column index in the padded frame; clip is a no-op when the caller's
+        # bound holds (P from max_disp_px)
+        x0p = jnp.clip(x0.astype(jnp.int32) + p, 0, wp - 2)
+        # window row of the y0 tap: the KV-row window for this output row
+        # spans true rows [row_global - p, row_global + p]
+        row_global = pl.program_id(1) * band + r
+        ky0 = y0.astype(jnp.int32) - row_global + p
+
+        cmat = (jnp.where(jj == x0p[:, None], (1.0 - wx)[:, None], 0.0)
+                + jnp.where(jj == x0p[:, None] + 1, wx[:, None], 0.0))
+        rows = xr_ref[0, :, r * c:(r + kv) * c]
+        g = lax.dot_general(cmat.astype(rows.dtype), rows,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=fdt)
+
+        out = jnp.zeros((w, c), fdt)
+        for k in range(kv - 1):
+            m = (jnp.where(ky0 == k, 1.0 - wy, 0.0)
+                 + jnp.where(ky0 + 1 == k, wy, 0.0))
+            out = out + m[:, None] * g[:, k * c:(k + 1) * c]
+        # k = kv-1 can only be the y1 tap
+        m = jnp.where(ky0 + 1 == kv - 1, wy, 0.0)
+        out = out + m[:, None] * g[:, (kv - 1) * c:kv * c]
+
+        tgt = xr_ref[0, p:p + w, (r + p) * c:(r + p + 1) * c].astype(fdt)
+        al = al_ref[0, r].astype(fdt)[:, None]
+        o_ref[0, r] = (out * al + tgt * (1.0 - al)).astype(o_ref.dtype)
+
+
+def mxu_warp_supported(h: int, w: int, c: int, p: int) -> bool:
+    return (h == w and h % BAND == 0 and c % 128 == 0
+            and h + 2 * p <= 4096)
+
+
+def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):
+    b, h, w, c = target.shape
+    kv = 2 * p + 1
+    wp = _round_up(w + 2 * p, 128)
+    hp = h + 2 * p
+
+    xp = jnp.pad(target, [(0, 0), (p, p), (p, p + (wp - w - 2 * p)), (0, 0)])
+    xr = jnp.transpose(xp, (0, 2, 1, 3)).reshape(b, wp, hp * c)
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    al = alpha[..., 0] if alpha.ndim == 4 else alpha
+
+    elem = lambda sizes: tuple(pl.Element(sz) for sz in sizes)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel, w=w, c=c, p=p, band=BAND),
+        grid=(b, h // BAND),
+        in_specs=[
+            pl.BlockSpec(elem((1, wp, (BAND + 2 * p) * c)),
+                         lambda bi, i: (bi, 0, i * BAND * c)),
+            pl.BlockSpec(elem((1, BAND, w)),
+                         lambda bi, i: (bi, i * BAND, 0)),
+            pl.BlockSpec(elem((1, BAND, w)),
+                         lambda bi, i: (bi, i * BAND, 0)),
+            pl.BlockSpec(elem((1, BAND, w)),
+                         lambda bi, i: (bi, i * BAND, 0)),
+        ],
+        out_specs=pl.BlockSpec(elem((1, BAND, w, c)),
+                               lambda bi, i: (bi, i * BAND, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), target.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * wp * kv * c, transcendentals=0,
+            bytes_accessed=(2 * target.size + 3 * b * h * w)
+            * target.dtype.itemsize),
+        interpret=interpret,
+    )(xr, gx, gy, al)
+    return out
+
+
+def warp_blend_reference(target, grid, alpha):
+    """The exact XLA formulation this kernel replaces
+    (nn/samm.py SPMWarp.__call__ warp + blend)."""
+    al = alpha if alpha.ndim == 4 else alpha[..., None]
+    warped = grid_sample_bilinear(target, grid)
+    return warped * al + target * (1.0 - al)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mxu_warp_blend(target, grid, alpha, p: int):
+    """Bilinear-warp target at `grid` and alpha-blend with itself, with the
+    guarantee that every sample lies within +-p pixels of its output
+    position (p from max_disp_px(scale, size)). Matches
+    warp_blend_reference up to the dot's weight-dtype rounding."""
+    return _warp_blend_fwd(target, grid, alpha, p)
+
+
+def _fwd(target, grid, alpha, p):
+    return mxu_warp_blend(target, grid, alpha, p), (target, grid, alpha)
+
+
+def _bwd(p, res, ct):
+    target, grid, alpha = res
+    _, vjp = jax.vjp(warp_blend_reference, target, grid, alpha)
+    return vjp(ct)
+
+
+mxu_warp_blend.defvjp(_fwd, _bwd)

@@ -52,6 +52,9 @@ def make_opt(variant):
     opt["train"]["id_opt"].pop("ckpt", None)
     opt["train"]["fused_step"] = True
     tr = opt["train"]
+    vgg_dt = os.environ.get("PT_VGG_DTYPE", "")
+    if vgg_dt and "perceptual_opt" in tr:
+        tr["perceptual_opt"]["dtype"] = vgg_dt
     if variant in ("nopercep",):
         del tr["perceptual_opt"]
     elif variant == "noid":
