@@ -15,6 +15,7 @@ import flax.linen as nn
 
 from ..nn.stylegan2 import feature_modulation
 from ..ops.resize import resize_bilinear
+from ..parallel.spatial import constrain as sp_constrain
 
 # Rematerialize each decode stage (generator layer pair + SAMM block) during
 # the backward pass instead of storing its activations — together with the
@@ -160,6 +161,9 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         out, skip, align = stage_fn(arch, out, skip, prev_align, lats, feat,
                                     f_in_a, f_in_b, noise[1 + 2 * idx],
                                     noise[2 + 2 * idx], idx, i, ind)
+        # spatial-partitioning anchor (no-op outside parallel.spatial):
+        # H-shards the high-res tail; coarse/SAMM stages stay replicated
+        out, skip = sp_constrain(out), sp_constrain(skip)
         if align is not None:
             aligns[ind] = align
             prev_align = align

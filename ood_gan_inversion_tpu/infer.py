@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from .archs import build_network
-from .parallel import make_mesh, shard_batch, replicate_sharding
+from .parallel import (make_mesh, shard_batch, replicate_sharding,
+                       spatial_sharding)
 from .utils.img_util import imread, img2input, tensor2img, imwrite
 from .utils.logger import get_root_logger
 from .metrics import calculate_metric
@@ -79,6 +80,30 @@ class InversionEngine:
     def invert(self, img01, rng):
         x = jnp.asarray(img2input(img01, self.out_size))
         out = self._fwd(self.params, x, rng)
+        jax.block_until_ready(out["image"])
+        return out
+
+    def invert_spatial(self, img01, rng, mesh=None, min_h: int = 512):
+        """Single-image latency scale-out: the >=min_h decode stages are
+        H-sharded over an 'sp' mesh (parallel/spatial.py) so GSPMD splits
+        the high-res tail convs across chips with ICI halo exchanges.
+        Params and the coarse/SAMM stages stay replicated."""
+        mesh = mesh or make_mesh([d for d in jax.devices()
+                                  if d.platform != "cpu"] or jax.devices(),
+                                 axes=("sp",))
+        x = jnp.asarray(img2input(img01, self.out_size))
+        params = jax.device_put(self.params, replicate_sharding(mesh))
+        key = (id(mesh), min_h)
+        if getattr(self, "_sp_key", None) != key:
+            # fresh trace inside the SP context (constraints bake at trace)
+            self._sp_key = key
+            fwd = lambda p, x, k: self.net.apply(
+                {"params": p}, x, mod_size=self.mod_size, rngs={"noise": k})
+            with spatial_sharding(mesh, min_h=min_h):
+                self._sp_fwd = jax.jit(fwd)
+                out = self._sp_fwd(params, x, rng)
+        else:
+            out = self._sp_fwd(params, x, rng)
         jax.block_until_ready(out["image"])
         return out
 

@@ -31,6 +31,7 @@ from ..ops.modulated import modulated_conv2d, demod_scale, pixel_norm
 from ..ops.upfirdn2d import make_kernel, upsample2x
 from ..ops.fused_act import fused_leaky_relu
 from ..ops.stats import minibatch_stddev
+from ..parallel.spatial import constrain as sp_constrain
 from ..ops.polyphase import (pack_space_to_depth, unpack_depth_to_space,
                              upconv_blur_packed_kernel, conv3x3_packed_kernel,
                              conv1x1_packed_kernel, skip_up_packed_kernel,
@@ -382,6 +383,10 @@ class Generator(nn.Module):
                 out = self.convs[2 * idx + 1](out, latent[:, i + 1],
                                               noise=noise[2 + 2 * idx])
                 skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
+            # spatial-partitioning anchor (no-op outside parallel.spatial
+            # context): pins high-res stages H-sharded so GSPMD splits the
+            # tail convs and inserts halo exchanges
+            out, skip = sp_constrain(out), sp_constrain(skip)
             i += 2
         return skip
 
