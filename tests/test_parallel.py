@@ -152,3 +152,37 @@ def test_spatial_partitioned_decode_matches_single():
                      jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_dp_sp_train_step_matches_single():
+    """Hybrid 2-D mesh training: batch sharded over 'data', the decode's
+    high-res stages H-sharded over 'sp' (parallel/spatial.py constraints
+    inside the jitted train step). Same data + rngs must reproduce the
+    single-device update — beyond the reference's pure-DDP capability."""
+    from ood_gan_inversion_tpu.parallel import spatial_sharding
+
+    model = build_model(_tiny_opt())
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng, (4, 32, 32, 3))
+    batch = make_batch(jax.random.PRNGKey(1), b=4, size=32)
+
+    model2 = build_model(_tiny_opt())
+    new_ref, logs_ref = model2.train_step(state, batch,
+                                          jax.random.PRNGKey(2), 0)
+
+    state = model.init_state(rng, (4, 32, 32, 3))
+    mesh = make_mesh(jax.devices()[:4], axes=("data", "sp"), shape=(2, 2))
+    rep = replicate_sharding(mesh)
+    state_sh = jax.device_put(state, rep)
+    batch_sh = shard_batch(batch, mesh)
+
+    with spatial_sharding(mesh, min_h=16):
+        new_sh, logs_sh = model.train_step(state_sh, batch_sh,
+                                           jax.random.PRNGKey(2), 0)
+
+    np.testing.assert_allclose(float(logs_sh["l_total"]),
+                               float(logs_ref["l_total"]), rtol=2e-4,
+                               atol=1e-5)
+    a = np.asarray(jax.tree_util.tree_leaves(new_sh.params_g_train)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(new_ref.params_g_train)[0])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
