@@ -41,6 +41,13 @@ class OODFaceGANFeatureStyle(nn.Module):
     skip_SA: bool = False
     optim_delta_latent: bool = False
     feature_scale: float = 1.0
+    # The reference FS arch computes the content tensor but its forward
+    # NEVER passes it to generate (OOD_faceGAN_featureStyle_arch.py:286
+    # builds `contents`, :299 calls generate(lats, feats, x) without it) —
+    # the injection wiring is dead code there, so trained FS checkpoints saw
+    # no content injection. Default False for golden/real-weight parity;
+    # True enables the (clearly intended) injection as a TPU-side extension.
+    inject_content: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -100,7 +107,8 @@ class OODFaceGANFeatureStyle(nn.Module):
     def decode_samm(self, lats, feats_and_content, x, mod_size: int = 256):
         feats_c, content = feats_and_content
         x = x.astype(self.dtype)
-        features_in = {5: content}   # reference L285-287: layer 5, scale 1.0
+        # layer 5, scale 1.0 per reference L285-287 — gated, see inject_content
+        features_in = {5: content} if self.inject_content else None
         if not self.enable_modulation or not cond_layers_for(mod_size):
             # plain decode still honors the content injection
             gen_image, _ = conditioned_decode(self, lats, [None] * 4, 0,

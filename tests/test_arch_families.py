@@ -25,9 +25,12 @@ def test_restyle_forward():
 
 
 def test_featurestyle_forward_with_content_injection():
+    # inject_content=True opts into the injection the reference WIRES but
+    # never actually passes on its forward path (dead code there — see the
+    # arch attribute docstring); default False matches the reference
     arch = build_network({"type": "ood_faceGAN_FeatureStyle", "out_size": 64,
                           "channel_multiplier": 1, "cycle_align": 1,
-                          "warp_scale": 0.08})
+                          "warp_scale": 0.08, "inject_content": True})
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (1, 64, 64, 3))
     params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)

@@ -165,14 +165,9 @@ def convert_irse_trunk(sd, prefix, src_prefix="", n_body=24, se=True):
     return out, consumed
 
 
-def convert_e4e_encoder(sd, prefix="encoder"):
-    """e4e_ffhq_encode.pt state_dict (keys may carry 'encoder.' prefix) ->
-    Encoder4Editing paths."""
-    if any(k.startswith("encoder.") for k in sd):
-        sd = {k[len("encoder."):]: v for k, v in sd.items()
-              if k.startswith("encoder.")}
-    out, consumed = convert_irse_trunk(sd, f"{prefix}/trunk", n_body=24, se=True)
-
+def _convert_style_blocks(sd, prefix, out, consumed):
+    """styles.{i} GradualStyleBlock stacks -> style_{i} paths (shared by the
+    E4E and ReStyle encoders)."""
     style_ids = sorted({int(k.split(".")[1]) for k in sd
                         if k.startswith("styles.")})
     for i in style_ids:
@@ -191,6 +186,16 @@ def convert_e4e_encoder(sd, prefix="encoder"):
         out[f"{prefix}/style_{i}/linear/bias"] = _t(sd[f"styles.{i}.linear.bias"])
         consumed.update({f"styles.{i}.linear.weight", f"styles.{i}.linear.bias"})
 
+
+def convert_e4e_encoder(sd, prefix="encoder"):
+    """e4e_ffhq_encode.pt state_dict (keys may carry 'encoder.' prefix) ->
+    Encoder4Editing paths."""
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    out, consumed = convert_irse_trunk(sd, f"{prefix}/trunk", n_body=24, se=True)
+    _convert_style_blocks(sd, prefix, out, consumed)
+
     for lat in ("latlayer1", "latlayer2"):
         out[f"{prefix}/{lat}/weight"] = conv_w(sd[f"{lat}.weight"])
         out[f"{prefix}/{lat}/bias"] = _t(sd[f"{lat}.bias"])
@@ -198,6 +203,131 @@ def convert_e4e_encoder(sd, prefix="encoder"):
 
     leftovers = [k for k in sd if k not in consumed
                  and not structural_key(k)]
+    return out, leftovers
+
+
+def convert_restyle_encoder(sd, prefix="encoder"):
+    """ReStyle ProgressiveBackboneEncoder state_dict
+    (src/ops/restyle/restyle_e4e_encoder.py:35-110: 6-ch input IR-SE-50
+    trunk + per-style GradualStyleBlock(512,512,16)) ->
+    nn/encoders/restyle.py paths."""
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    out, consumed = convert_irse_trunk(sd, f"{prefix}/trunk", n_body=24, se=True)
+    _convert_style_blocks(sd, prefix, out, consumed)
+    leftovers = [k for k in sd if k not in consumed
+                 and not structural_key(k)]
+    return out, leftovers
+
+
+def convert_ood_restyle_arch(sd):
+    """FULL ood_faceGAN_restyle state_dict
+    (src/archs/OOD_faceGAN_restyle_arch.py:30-116) -> OODFaceGANReStyle
+    params (generator + ReStyle encoder + SAMM modulation + adapters +
+    per-layer avg_latent + delta_latent)."""
+    out = {}
+    sub = lambda pre: {k[len(pre):]: v for k, v in sd.items()
+                       if k.startswith(pre)}
+    gen, gl = convert_stylegan2_generator(sub("generator."), prefix="generator")
+    enc, el = convert_restyle_encoder(sub("encoder."), prefix="encoder")
+    mod, ml = convert_ood_modulation(
+        {k: v for k, v in sd.items()
+         if k.startswith(("modulation.", "feats_conv."))})
+    out.update(gen)
+    out.update(enc)
+    out.update(mod)
+    out["avg_latent"] = _t(sd["avg_latent"])
+    out["delta_latent"] = _t(sd["delta_latent"])
+    leftovers = ([f"generator.{k}" for k in gl] + [f"encoder.{k}" for k in el]
+                 + list(ml))
+    return out, leftovers
+
+
+IRESNET50_LAYERS = (3, 4, 14, 3)
+
+
+def convert_fs_encoder(sd, prefix="encoder"):
+    """FeatureStyle fs_encoder_v2 state_dict
+    (src/ops/FeatureStyle/feature_style_encoder.py:12-74 over the arcface
+    iresnet50 trunk, arcface/iresnet.py:28-130) ->
+    nn/encoders/feature_style.py FSEncoderV2 paths."""
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+
+    def bn(dst, src):
+        put_bn(out, dst, sd, src)
+        consumed.update(f"{src}.{s}" for s in
+                        ("weight", "bias", "running_mean", "running_var"))
+
+    def conv(dst, src):
+        out[dst] = conv_w(sd[f"{src}.weight"])
+        consumed.add(f"{src}.weight")
+
+    conv(f"{p}input_conv/weight", "conv.0")
+    bn(f"{p}input_bn", "conv.1")
+    out[f"{p}input_prelu/weight"] = _t(sd["conv.2.weight"])
+    consumed.add("conv.2.weight")
+
+    for li, nblocks in enumerate(IRESNET50_LAYERS, start=1):
+        for i in range(nblocks):
+            src = f"block_{li}.{i}"
+            dst = f"{p}layer{li}/block_{i}"
+            bn(f"{dst}/bn1", f"{src}.bn1")
+            conv(f"{dst}/conv1/weight", f"{src}.conv1")
+            bn(f"{dst}/bn2", f"{src}.bn2")
+            out[f"{dst}/prelu/weight"] = _t(sd[f"{src}.prelu.weight"])
+            consumed.add(f"{src}.prelu.weight")
+            conv(f"{dst}/conv2/weight", f"{src}.conv2")
+            bn(f"{dst}/bn3", f"{src}.bn3")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{dst}/downsample_conv/weight", f"{src}.downsample.0")
+                bn(f"{dst}/downsample_bn", f"{src}.downsample.1")
+
+    bn(f"{p}content_bn0", "content_layer.0")
+    conv(f"{p}content_conv0/weight", "content_layer.1")
+    bn(f"{p}content_bn1", "content_layer.2")
+    out[f"{p}content_prelu/weight"] = _t(sd["content_layer.3.weight"])
+    consumed.add("content_layer.3.weight")
+    conv(f"{p}content_conv1/weight", "content_layer.4")
+    bn(f"{p}content_bn2", "content_layer.5")
+
+    style_ids = sorted({int(k.split(".")[1]) for k in sd
+                        if k.startswith("styles.")})
+    for i in style_ids:
+        out[f"{p}style_{i}_weight"] = linear_w(sd[f"styles.{i}.weight"])
+        out[f"{p}style_{i}_bias"] = _t(sd[f"styles.{i}.bias"])
+        consumed.update({f"styles.{i}.weight", f"styles.{i}.bias"})
+
+    leftovers = [k for k in sd if k not in consumed
+                 and not structural_key(k)]
+    return out, leftovers
+
+
+def convert_ood_fs_arch(sd):
+    """FULL ood_faceGAN_FeatureStyle state_dict
+    (src/archs/OOD_faceGAN_featureStyle_arch.py:28-120) -> OODFaceGANFS
+    params (generator + FS encoder + SAMM modulation + adapters +
+    avg/delta latents)."""
+    out = {}
+    sub = lambda pre: {k[len(pre):]: v for k, v in sd.items()
+                       if k.startswith(pre)}
+    gen, gl = convert_stylegan2_generator(sub("generator."), prefix="generator")
+    enc, el = convert_fs_encoder(sub("encoder."), prefix="encoder")
+    mod, ml = convert_ood_modulation(
+        {k: v for k, v in sd.items()
+         if k.startswith(("modulation.", "feats_conv."))})
+    out.update(gen)
+    out.update(enc)
+    out.update(mod)
+    out["avg_latent"] = _t(sd["avg_latent"])
+    out["delta_latent"] = _t(sd["delta_latent"])
+    leftovers = ([f"generator.{k}" for k in gl] + [f"encoder.{k}" for k in el]
+                 + list(ml))
     return out, leftovers
 
 
