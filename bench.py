@@ -49,10 +49,38 @@ ARCH_OPT = {
 }
 
 
+def _devices_with_retry(budget_s=900, interval_s=60):
+    """The axon TPU service has shown transient outages where backend init
+    HANGS indefinitely (PERF.md round-2 outage note), so health-probe it in
+    a killable subprocess first; only touch jax.devices() in-process once
+    the probe succeeds. Exits with a clear diagnostic if the service never
+    recovers within the budget (a CPU fallback would run for hours)."""
+    import subprocess
+    probe = ("import jax, sys; "
+             "sys.exit(0 if any(d.platform != 'cpu' for d in jax.devices())"
+             " else 1)")
+    t0 = time.time()
+    while True:
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe],
+                                timeout=120).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return jax.devices()
+        print(f"TPU backend unhealthy (probe rc={rc}); retrying",
+              file=sys.stderr)
+        if time.time() - t0 > budget_s:
+            print("TPU service did not recover within the retry budget",
+                  file=sys.stderr)
+            sys.exit(3)
+        time.sleep(interval_s)
+
+
 def main():
     from ood_gan_inversion_tpu.archs import build_network
 
-    tpu = [d for d in jax.devices() if d.platform != "cpu"]
+    tpu = [d for d in _devices_with_retry() if d.platform != "cpu"]
     dev = tpu[0] if tpu else jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 

@@ -35,12 +35,16 @@ Layout/lowering notes (hard-won):
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# OGI_SAMM_CONCAT1=1: algebraic body0 conv1 as ONE 2C-in conv (see below)
+_CONCAT1 = os.environ.get("OGI_SAMM_CONCAT1", "0") == "1"
 
 from .fused_act import fused_leaky_relu
 
@@ -777,7 +781,13 @@ def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
             v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
+    if _CONCAT1:
+        # one 2C-in conv over the materialized concat instead of two summed
+        # C-in convs: trades one extra HBM pass for a single bigger MXU op
+        # (better b=1 utilization at the 256px scale's C=128 halves)
+        z = conv(jnp.concatenate([x1a, x1b], axis=-1), k1)
+    else:
+        z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
     z = jnp.where(z >= 0, z, alpha.reshape(1, 1, 1, -1).astype(z.dtype) * z)
     y2 = conv(z, k2).astype(jnp.float32)
     mu2 = jnp.mean(y2, axis=(1, 2), keepdims=True)
