@@ -130,3 +130,31 @@ def test_ranger_and_cosine_schedule():
     s = sgd.init(params)
     upd, _ = sgd.update(jax.tree_util.tree_map(jnp.ones_like, params), s, params)
     np.testing.assert_allclose(np.asarray(upd["w"])[0, 0], -0.1, rtol=1e-6)
+
+
+def test_perceptual_loss_bf16_matches_fp32():
+    """perceptual_opt.dtype: bfloat16 (the TPU train-step knob) must track
+    the fp32 loss within bf16 tolerance, with grads flowing and the
+    no-grad gt path (features/compare split) agreeing with __call__."""
+    kw = dict(layer_weights={"conv1_2": 0.1, "conv2_2": 1.0},
+              range_norm=True, style_weight=50.0)
+    pl32 = PerceptualLoss(**kw)
+    pl16 = PerceptualLoss(dtype="bfloat16", **kw)
+    rng = jax.random.PRNGKey(0)
+    params = pl32.init(rng, (1, 32, 32, 3))
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    gt = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    p32, s32 = pl32(params, x, gt)
+    p16, s16 = pl16(params, x, gt)
+    assert p16.dtype == jnp.float32  # reductions stay fp32
+    np.testing.assert_allclose(float(p16), float(p32), rtol=0.05)
+    np.testing.assert_allclose(float(s16), float(s32), rtol=0.08)
+
+    # split API == __call__
+    gf = pl16.features(params, gt)
+    p2, s2 = pl16.compare(pl16.features(params, x), gf)
+    np.testing.assert_allclose(float(p2), float(p16), rtol=1e-6)
+
+    g = jax.grad(lambda xx: pl16(params, xx, gt)[0])(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
