@@ -83,6 +83,14 @@ class InversionEngine:
         jax.block_until_ready(out["image"])
         return out
 
+    def invert_batch(self, imgs01, rng):
+        """Batched single-device inversion (the serving fast path — each
+        distinct batch size is one cached XLA program)."""
+        x = np.stack([img2input(im, self.out_size)[0] for im in imgs01], 0)
+        out = self._fwd(self.params, jnp.asarray(x), rng)
+        jax.block_until_ready(out["image"])
+        return out
+
     def invert_spatial(self, img01, rng, mesh=None, min_h: int = 512):
         """Single-image latency scale-out: the >=min_h decode stages are
         H-sharded over an 'sp' mesh (parallel/spatial.py) so GSPMD splits

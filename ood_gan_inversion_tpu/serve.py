@@ -1,0 +1,146 @@
+"""Micro-batching inference server around the InversionEngine.
+
+The reference ships only offline CLIs (run_ood_faceGAN_inversion.py); for
+production serving on TPU the throughput lever is batching concurrent
+requests into one dispatch (PERF.md: the no-SAMM pipeline scales ~2x to
+batch 8). This is a dependency-free asyncio HTTP server:
+
+  * requests POST /invert with a raw float32 (H, W, 3) [0,1] image body
+    (shape in headers) — or use the InProcessClient for tests;
+  * a collector coalesces up to `max_batch` requests or waits `max_wait_ms`
+    after the first arrival, pads the batch to the nearest compiled size
+    (power of two — each distinct batch shape is one XLA program), and
+    dispatches a single jitted forward;
+  * responses carry the inverted image + the OOD mask.
+
+Batch-padding note: XLA programs are shape-specialized, so serving every
+possible batch size would compile O(max_batch) programs; rounding up to
+powers of two keeps it at log2(max_batch) programs while wasting <2x
+compute in the worst case (padded rows are dropped before reply).
+"""
+
+import asyncio
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _round_pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class BatchingServer:
+    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._stats = {"requests": 0, "batches": 0, "padded": 0}
+        self._collector_task = None
+
+    # ------------------------------------------------------------- dispatch
+    def _run_batch(self, imgs):
+        n = len(imgs)
+        b = min(_round_pow2(n), self.max_batch)
+        x = np.stack(imgs, 0)
+        if b > n:                      # pad to the compiled batch shape
+            x = np.concatenate([x, np.repeat(x[-1:], b - n, 0)], 0)
+            self._stats["padded"] += b - n
+        out = self.engine.invert_batch(x, jax.random.PRNGKey(0))
+        return out, n
+
+    async def _collector(self):
+        while True:
+            first = await self._queue.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = await asyncio.wait_for(self._queue.get(), timeout)
+                except asyncio.TimeoutError:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            imgs = [b[0] for b in batch]
+            loop = asyncio.get_running_loop()
+            out, n = await loop.run_in_executor(
+                None, self._run_batch, imgs)
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            image = np.asarray(out["image"].astype(jnp.float32))
+            mask = (np.asarray(out["mask"].astype(jnp.float32))
+                    if out["mask"] is not None else None)
+            for i, (_, fut) in enumerate(batch):
+                if not fut.done():
+                    fut.set_result(
+                        (image[i], mask[i] if mask is not None else None))
+
+    async def start(self):
+        self._collector_task = asyncio.create_task(self._collector())
+
+    async def stop(self):
+        await self._queue.put(None)
+        if self._collector_task is not None:
+            await self._collector_task
+
+    async def invert(self, img01: np.ndarray):
+        """Submit one (H, W, 3) [0,1] image; returns (image, mask)."""
+        fut = asyncio.get_running_loop().create_future()
+        await self._queue.put((img01, fut))
+        return await fut
+
+    @property
+    def stats(self):
+        return dict(self._stats)
+
+    # ------------------------------------------------------------------ http
+    async def serve_http(self, host="127.0.0.1", port=8471):
+        async def handle(reader, writer):
+            try:
+                line = await reader.readline()
+                headers = {}
+                while True:
+                    h = (await reader.readline()).decode().strip()
+                    if not h:
+                        break
+                    k, _, v = h.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                if line.split()[0] == b"GET":
+                    body = json.dumps(self.stats).encode()
+                else:
+                    shape = tuple(json.loads(headers["x-shape"]))
+                    nbytes = int(headers["content-length"])
+                    raw = await reader.readexactly(nbytes)
+                    img = np.frombuffer(raw, np.float32).reshape(shape)
+                    image, mask = await self.invert(img)
+                    body = image.tobytes() + (mask.tobytes() if mask is not None else b"")
+                writer.write(b"HTTP/1.1 200 OK\r\ncontent-length: "
+                             + str(len(body)).encode() + b"\r\n\r\n" + body)
+                await writer.drain()
+            except Exception as e:  # pragma: no cover - transport errors
+                try:
+                    msg = str(e).encode()
+                    writer.write(b"HTTP/1.1 500 ERR\r\ncontent-length: "
+                                 + str(len(msg)).encode() + b"\r\n\r\n" + msg)
+                    await writer.drain()
+                except Exception:
+                    pass
+            finally:
+                writer.close()
+
+        await self.start()
+        server = await asyncio.start_server(handle, host, port)
+        async with server:
+            await server.serve_forever()

@@ -1,0 +1,99 @@
+"""Micro-batching inference server (serve.py): coalescing, padding,
+correctness vs the direct engine path, HTTP transport."""
+
+import asyncio
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from ood_gan_inversion_tpu.infer import InversionEngine
+from ood_gan_inversion_tpu.serve import BatchingServer, _round_pow2
+
+
+OPT = {"network_g": {
+    "type": "ood_faceGAN_e4e", "out_size": 64, "style_dim": 512,
+    "n_mlp": 2, "channel_multiplier": 1, "enable_modulation": True,
+    "modulation_type": "NOISE", "warp_scale": 0.08, "cycle_align": 1,
+    "blend_with_gen": True, "ModSize": 32,
+}}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InversionEngine(OPT)
+
+
+def test_round_pow2():
+    assert [_round_pow2(n) for n in (1, 2, 3, 4, 5, 8)] == [1, 2, 4, 4, 8, 8]
+
+
+def test_concurrent_requests_are_batched(engine):
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=50.0)
+    rs = np.random.RandomState(0)
+    imgs = [rs.rand(64, 64, 3).astype(np.float32) for _ in range(5)]
+
+    async def run():
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(im) for im in imgs])
+        await srv.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    assert len(outs) == 5
+    # batching actually coalesced: 5 requests in at most 3 dispatches
+    assert srv.stats["requests"] == 5
+    assert srv.stats["batches"] <= 3
+
+    # response i must equal the direct single-image inversion of image i
+    for im, (image, mask) in zip(imgs, outs):
+        ref = engine.invert_batch([im], jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            image, np.asarray(ref["image"][0]), atol=2e-3)
+        assert mask is not None
+
+
+def test_http_transport(engine):
+    srv = BatchingServer(engine, max_batch=2, max_wait_ms=5.0)
+
+    async def run():
+        task = asyncio.create_task(srv.serve_http(port=8473))
+        await asyncio.sleep(0.3)
+        img = np.random.RandomState(1).rand(64, 64, 3).astype(np.float32)
+        reader, writer = await asyncio.open_connection("127.0.0.1", 8473)
+        body = img.tobytes()
+        writer.write(
+            b"POST /invert HTTP/1.1\r\n"
+            b"x-shape: " + json.dumps(list(img.shape)).encode() + b"\r\n"
+            b"content-length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+        await writer.drain()
+        status = await reader.readline()
+        assert b"200" in status
+        while (await reader.readline()).strip():
+            pass
+        image = np.frombuffer(await reader.readexactly(64 * 64 * 3 * 4),
+                              np.float32).reshape(64, 64, 3)
+        writer.close()
+
+        # stats endpoint
+        r2, w2 = await asyncio.open_connection("127.0.0.1", 8473)
+        w2.write(b"GET /stats HTTP/1.1\r\n\r\n")
+        await w2.drain()
+        assert b"200" in await r2.readline()
+        hdrs = {}
+        while True:
+            h = (await r2.readline()).decode().strip()
+            if not h:
+                break
+            k, _, v = h.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        stats = json.loads(await r2.readexactly(int(hdrs["content-length"])))
+        w2.close()
+        task.cancel()
+        return image, stats
+
+    image, stats = asyncio.run(run())
+    assert np.isfinite(image).all()
+    assert stats["requests"] >= 1
