@@ -186,3 +186,30 @@ def test_hybrid_dp_sp_train_step_matches_single():
     a = np.asarray(jax.tree_util.tree_leaves(new_sh.params_g_train)[0])
     b = np.asarray(jax.tree_util.tree_leaves(new_ref.params_g_train)[0])
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_spatial_partitioning_through_packed_stages():
+    """The >=512px stages use the polyphase-packed path (ops/polyphase.py
+    space-to-depth reshapes); GSPMD must still split them under the 'sp'
+    constraint and reproduce the single-device decode."""
+    from ood_gan_inversion_tpu.nn.stylegan2 import Generator
+    from ood_gan_inversion_tpu.parallel import spatial_sharding
+
+    gen = Generator(size=512, style_dim=512, n_mlp=2, channel_multiplier=1,
+                    narrow=0.5)
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 512)) * 0.3
+    noise = [jnp.zeros((1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1))
+             for i in range(15)]
+    params = gen.init({"params": rng}, lat, noise=noise)["params"]
+
+    fwd = lambda p, l: gen.apply({"params": p}, l, noise=noise)
+    ref = jax.jit(fwd)(params, lat)
+
+    mesh = make_mesh(jax.devices()[:4], axes=("sp",))
+    rep = replicate_sharding(mesh)
+    with spatial_sharding(mesh, min_h=128):
+        out = jax.jit(fwd)(jax.device_put(params, rep),
+                           jax.device_put(lat, rep))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
