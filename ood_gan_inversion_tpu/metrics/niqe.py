@@ -56,30 +56,11 @@ def _block_features(block: np.ndarray):
 
 
 def _matlab_resize_half(img: np.ndarray) -> np.ndarray:
-    """matlab imresize(img, 0.5, 'bicubic') with antialiasing, separable."""
-    def kernel(x):
-        x = np.abs(x)
-        return np.where(x <= 1, 1.5 * x ** 3 - 2.5 * x ** 2 + 1,
-                        np.where(x < 2, -0.5 * x ** 3 + 2.5 * x ** 2
-                                 - 4 * x + 2, 0.0))
-
-    def axis_matrix(in_len, out_len):
-        scale = out_len / in_len          # 0.5
-        support = 4.0 / scale             # antialias widening
-        u = (np.arange(out_len) + 0.5) / scale - 0.5
-        left = np.floor(u - support / 2).astype(int)
-        m = np.zeros((out_len, in_len))
-        idx = left[:, None] + np.arange(int(math.ceil(support)) + 2)[None, :]
-        w = scale * kernel(scale * (u[:, None] - idx))
-        w /= np.sum(w, axis=1, keepdims=True)
-        idx_c = np.clip(idx, 0, in_len - 1)
-        for o in range(out_len):
-            np.add.at(m[o], idx_c[o], w[o])
-        return m
-
-    mh = axis_matrix(img.shape[0], img.shape[0] // 2)
-    mw = axis_matrix(img.shape[1], img.shape[1] // 2)
-    return mh @ img @ mw.T
+    """matlab imresize(img, 0.5, 'bicubic') with antialiasing — the exact
+    port (data/transforms.py imresize, golden-tested vs
+    BasicSR/basicsr/utils/matlab_functions.py:86)."""
+    from ..data.transforms import imresize
+    return imresize(img, 0.5, antialiasing=True)
 
 
 def niqe_score(img_y: np.ndarray, mu_pris, cov_pris, gaussian_window,
@@ -131,7 +112,8 @@ def calculate_niqe(img, crop_border=0, input_order="HWC", convert_to="y",
             "calculate_niqe needs pris_params_path (the pristine-model "
             "mu/cov/window .npz, e.g. the reference's niqe_pris_params.npz)")
     p = np.load(pris_params_path)
-    mu_pris = p["mu_pris_param"]
+    # the shipped npz stores mu as (1, 36); the Mahalanobis form wants (36,)
+    mu_pris = np.ravel(p["mu_pris_param"])
     cov_pris = p["cov_pris_param"]
     window = p.get("gaussian_window", default_gaussian_window())
 

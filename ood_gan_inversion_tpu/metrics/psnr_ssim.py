@@ -10,9 +10,12 @@ from ..utils.registry import METRIC_REGISTRY
 
 
 def bgr2ycbcr_y(img01: np.ndarray) -> np.ndarray:
-    """BGR float [0,1] -> Y float [16/255*?]: matlab convention
-    (BasicSR matlab_functions.py:214)."""
-    return (np.dot(img01, [24.966, 128.553, 65.481]) + 16.0) / 255.0
+    """BGR float [0,1] -> Y float: matlab convention
+    (BasicSR matlab_functions.py:214). The float32 output cast matches the
+    reference's _convert_output_type_range — NIQE rounds the Y image, so
+    fp64-vs-fp32 ties at .5 otherwise shift whole grey levels."""
+    y = np.dot(img01, [24.966, 128.553, 65.481]) + 16.0
+    return (y / 255.0).astype(np.float32)
 
 
 def to_y_channel(img: np.ndarray) -> np.ndarray:

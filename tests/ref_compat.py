@@ -48,6 +48,12 @@ def install_reference_stubs():
         tv.models = _module("torchvision.models", resnet34=_unavailable)
         tv.utils = _module("torchvision.utils", save_image=_unavailable)
 
+    if "lpips" not in sys.modules:
+        def _no_lpips(*a, **k):
+            raise RuntimeError("lpips stub: pip package not in this image")
+
+        _module("lpips", LPIPS=_no_lpips)
+
     if "easydict" not in sys.modules:
         class EasyDict(dict):
             __getattr__ = dict.__getitem__
@@ -78,7 +84,10 @@ def install_reference_stubs():
                     yield entry if not full_path else os.path.join(
                         dir_path, entry)
 
-        bs = _module("basicsr")
+        import logging
+
+        bs = _module("basicsr", get_root_logger=lambda *a, **k:
+                     logging.getLogger("ref_compat"))
         bs.utils = _module("basicsr.utils", scandir=scandir)
         bs.utils.registry = _module(
             "basicsr.utils.registry",
@@ -88,6 +97,17 @@ def install_reference_stubs():
         bs.archs = _module("basicsr.archs")
         bs.archs.arch_util = _module("basicsr.archs.arch_util",
                                      trunc_normal_=trunc_normal_)
+        # the REAL loss_util (torch-only imports) so golden loss tests run
+        # the reference's actual reduction code, not a re-implementation
+        bs.losses = _module("basicsr.losses")
+        import importlib.util as _ilu
+        spec = _ilu.spec_from_file_location(
+            "basicsr.losses.loss_util",
+            f"{REFERENCE_ROOT}/BasicSR/basicsr/losses/loss_util.py")
+        lu = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(lu)
+        sys.modules["basicsr.losses.loss_util"] = lu
+        bs.losses.loss_util = lu
 
 
 def load_reference_module(name):
@@ -96,6 +116,30 @@ def load_reference_module(name):
     install_reference_stubs()
     import importlib
     return importlib.import_module(name)
+
+
+def load_real_basicsr(name):
+    """Load a REAL BasicSR module file (torch/numpy/cv2-only leaves like
+    metrics/matlab_functions) under the stubbed `basicsr` package, so golden
+    tests exercise the reference's actual metric code without pulling the
+    framework's heavy import graph. Dependencies must be loaded first
+    (callers pass leaf-most last)."""
+    install_reference_stubs()
+    if name in sys.modules:
+        return sys.modules[name]
+    parts = name.split(".")
+    for i in range(1, len(parts)):
+        pname = ".".join(parts[:i])
+        if pname not in sys.modules:
+            _module(pname)
+    path = f"{REFERENCE_ROOT}/BasicSR/{'/'.join(parts)}.py"
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(name, path)
+    mod = ilu.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    setattr(sys.modules[".".join(parts[:-1])], parts[-1], mod)
+    return mod
 
 
 class zero_noise_injection:
