@@ -36,6 +36,7 @@ from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
                                   fused_alignnet_body0,
                                   algebraic_alignnet_body0,
                                   alignnet_body0_supported)
+from ..ops.matmul_warp import xla_warp_blend
 from ..ops.pallas_warp import (mxu_warp_blend, mxu_warp_supported,
                                max_disp_px)
 from ..ops.resize import resize_bicubic_ac
@@ -101,6 +102,10 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 # XLA's gather is batch-flat at ~4.3 ms/img per 256px warp (PERF.md r2).
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "0") == "1"
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
+# Pure-XLA banded-matmul warp (ops/matmul_warp.py): same gather bypass with
+# no custom-call barrier, at the price of materializing the row bands in
+# HBM. Loses precedence to OGI_MXU_WARP when both are set.
+_XLA_WARP = os.environ.get("OGI_XLA_WARP", "0") == "1"
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -247,6 +252,8 @@ class SPMWarp(nn.Module):
             if (_MXU_WARP and h >= _MXU_WARP_MIN
                     and mxu_warp_supported(h, w, target.shape[-1], p)):
                 aligned_target = mxu_warp_blend(target, grid, alpha, p)
+            elif _XLA_WARP and h >= _MXU_WARP_MIN:
+                aligned_target = xla_warp_blend(target, grid, alpha, p)
             else:
                 warped = grid_sample_bilinear(target, grid)
                 aligned_target = warped * alpha + target * (1.0 - alpha)

@@ -61,11 +61,12 @@ def bench(fwd, b, n_iter):
 
 
 samm._MXU_WARP_MIN = int(os.environ.get("MIN", "128"))
+FLAG = {"mxu": "_MXU_WARP", "xla": "_XLA_WARP"}[os.environ.get("WARP", "mxu")]
 for b in [int(v) for v in os.environ.get("B", "1,4").split(",")]:
     n_iter = max(4, 16 // b)
-    samm._MXU_WARP = False
+    setattr(samm, FLAG, False)
     ms0, c0, out0 = bench(make_fwd(f"off{b}"), b, n_iter)
-    samm._MXU_WARP = True
+    setattr(samm, FLAG, True)
     ms1, c1, out1 = bench(make_fwd(f"on{b}"), b, n_iter)
     diff = float(np.max(np.abs(out0 - out1)))
     rng_ = float(out0.max() - out0.min())
