@@ -45,6 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # OGI_SAMM_CONCAT1=1: algebraic body0 conv1 as ONE 2C-in conv (see below)
 _CONCAT1 = os.environ.get("OGI_SAMM_CONCAT1", "0") == "1"
+# OGI_SAMM_CONV_BF16=1: materialize the body0 conv operands (x1, z, weights)
+# in bf16 with fp32 MXU accumulation. XLA already runs fp32 convs as bf16
+# MXU passes, so this changes only the HBM bytes of the conv reads (fp32
+# conv3x3 4.24 ms vs bf16 3.59 at the (1,256,256,128)->256 scale, PERF.md);
+# all InstanceNorm statistics / affine coefficients stay fp32.
+_CONV_BF16 = os.environ.get("OGI_SAMM_CONV_BF16", "0") == "1"
 
 from .fused_act import fused_leaky_relu
 
@@ -769,17 +775,19 @@ def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
     shortcut epilogue recomputes h elementwise from (s, t) — XLA fuses it
     with the y2 moments pass."""
     c = s.shape[-1]
+    cdt = jnp.bfloat16 if _CONV_BF16 else s.dtype
     s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
     coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g, eps)
     as_, at_, b1h, ct_, b2h = [coeffs[:, i][:, None, None, :]
                                for i in range(5)]
-    x1a = (as_ * s32 + at_ * t32 + b1h).astype(s.dtype)
-    x1b = (ct_ * t32 + b2h).astype(s.dtype)
+    x1a = (as_ * s32 + at_ * t32 + b1h).astype(cdt)
+    x1b = (ct_ * t32 + b2h).astype(cdt)
 
     def conv(v, k):
         return lax.conv_general_dilated(
             v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(v.dtype)
 
     if _CONCAT1:
         # one 2C-in conv over the materialized concat instead of two summed

@@ -255,6 +255,32 @@ def test_algebraic_alignnet_body0_matches_reference(diff):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_algebraic_alignnet_body0_bf16_convs(monkeypatch):
+    """OGI_SAMM_CONV_BF16=1: bf16 conv operands, fp32 stats — the result must
+    track the fp32 reference within bf16 rounding of the conv chain."""
+    import ood_gan_inversion_tpu.ops.pallas_kernels as pk
+    rs = np.random.RandomState(12)
+    b, h, c = 2, 16, 64
+    s = jnp.asarray(rs.randn(b, h, h, c).astype(np.float32))
+    t = jnp.asarray((rs.randn(b, h, h, c) * 2 + 0.3).astype(np.float32))
+    c2 = 2 * c
+    g1 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b1 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    k1 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    al = jnp.asarray(rs.rand(c2).astype(np.float32) * 0.5)
+    k2 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    g2 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b2 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    args = (s, t, g1, b1, k1, al, k2, g2, b2)
+    ref = pk.alignnet_body0_reference(*args)
+    monkeypatch.setattr(pk, "_CONV_BF16", True)
+    got = pk.algebraic_alignnet_body0(*args)
+    # IN(y2) renormalizes, so bf16 conv rounding stays O(bf16 eps) relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+    assert got.dtype == s.dtype
+
+
 def test_alignnet_module_algebraic_matches_unfused(monkeypatch):
     import ood_gan_inversion_tpu.nn.samm as samm_mod
     from ood_gan_inversion_tpu.nn.samm import AlignNet
