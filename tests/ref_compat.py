@@ -190,4 +190,11 @@ def from_nhwc(a):
     a = np.asarray(a)
     if a.ndim == 4:
         a = np.transpose(a, (0, 3, 1, 2))
-    return torch.from_numpy(np.ascontiguousarray(a)).float()
+    t = torch.from_numpy(np.ascontiguousarray(a)).float()
+    if t.ndim == 4:
+        # numpy leaves size-1 dims with their pre-transpose strides (C=1 ->
+        # channel stride 1), which torch reads as channels_last and then
+        # propagates through convs until a reference-side .view rejects it;
+        # clone to canonical NCHW strides
+        t = t.clone(memory_format=torch.contiguous_format)
+    return t

@@ -526,6 +526,64 @@ def convert_ood_e4e_arch(sd):
     return out, leftovers
 
 
+def convert_arcface_resnet(sd, prefix="", layers=(2, 2, 2, 2)):
+    """ResNetArcFace (face_id/arcface_arch.py:171-245, IRBlock trunk) ->
+    nn/arcface_resnet.py paths. The reference IRBlock applies ONE shared
+    nn.PReLU twice (mid-block and after the residual add,
+    arcface_arch.py:86-99); the flax module declares prelu / prelu_out
+    separately, so the single slope is duplicated into both."""
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+
+    def bn(dst, src):
+        put_bn(out, dst, sd, src)
+        consumed.update(f"{src}.{s}" for s in
+                        ("weight", "bias", "running_mean", "running_var"))
+
+    def conv(dst, src):
+        out[f"{dst}/weight"] = conv_w(sd[f"{src}.weight"])
+        consumed.add(f"{src}.weight")
+
+    def linear(dst, src):
+        out[f"{dst}/kernel"] = linear_w(sd[f"{src}.weight"])
+        out[f"{dst}/bias"] = _t(sd[f"{src}.bias"])
+        consumed.update({f"{src}.weight", f"{src}.bias"})
+
+    conv(f"{p}conv1", "conv1")
+    bn(f"{p}bn1", "bn1")
+    out[f"{p}prelu/weight"] = _t(sd["prelu.weight"])
+    consumed.add("prelu.weight")
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            s = f"layer{li + 1}.{bi}"
+            d = f"{p}layer{li + 1}_{bi}"
+            bn(f"{d}/bn0", f"{s}.bn0")
+            conv(f"{d}/conv1", f"{s}.conv1")
+            bn(f"{d}/bn1", f"{s}.bn1")
+            pw = _t(sd[f"{s}.prelu.weight"])
+            out[f"{d}/prelu/weight"] = pw
+            out[f"{d}/prelu_out/weight"] = pw       # shared in the reference
+            consumed.add(f"{s}.prelu.weight")
+            conv(f"{d}/conv2", f"{s}.conv2")
+            bn(f"{d}/bn2", f"{s}.bn2")
+            if f"{s}.se.fc.0.weight" in sd:
+                linear(f"{d}/se/fc0", f"{s}.se.fc.0")
+                out[f"{d}/se/prelu/weight"] = _t(sd[f"{s}.se.fc.1.weight"])
+                consumed.add(f"{s}.se.fc.1.weight")
+                linear(f"{d}/se/fc1", f"{s}.se.fc.2")
+            if f"{s}.downsample.0.weight" in sd:
+                conv(f"{d}/down_conv", f"{s}.downsample.0")
+                bn(f"{d}/down_bn", f"{s}.downsample.1")
+    bn(f"{p}bn4", "bn4")
+    linear(f"{p}fc5", "fc5")
+    put_bn(out, f"{p}bn5", sd, "bn5")
+    consumed.update(f"bn5.{s}" for s in
+                    ("weight", "bias", "running_mean", "running_var"))
+    leftovers = [k for k in sd if k not in consumed and not structural_key(k)]
+    return out, leftovers
+
+
 def convert_inception_v3(sd, prefix=""):
     """torchvision inception_v3 -> InceptionV3FID paths. Maps every
     '<block>.<branch>.conv.weight' / '.bn.*'; skips the fc/AuxLogits heads."""
