@@ -54,6 +54,20 @@ def install_reference_stubs():
 
         _module("lpips", LPIPS=_no_lpips)
 
+    if "Experimental_root" not in sys.modules:
+        # GCFSR_modules.py:12 imports its ops from the GCFSR repo's package
+        # name, which the reference never vendored (dead path outside that
+        # file). Alias it to the reference's own identical op package
+        # (src/ops/op — same FusedLeakyReLU/fused_leaky_relu/upfirdn2d).
+        import importlib
+        op = importlib.import_module("src.ops.op")
+        er = _module("Experimental_root")
+        er.ops = _module("Experimental_root.ops")
+        er.ops.Face_Restoration = _module(
+            "Experimental_root.ops.Face_Restoration")
+        sys.modules["Experimental_root.ops.Face_Restoration.op"] = op
+        er.ops.Face_Restoration.op = op
+
     if "easydict" not in sys.modules:
         class EasyDict(dict):
             __getattr__ = dict.__getitem__

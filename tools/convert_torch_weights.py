@@ -526,6 +526,66 @@ def convert_ood_e4e_arch(sd):
     return out, leftovers
 
 
+def convert_gcfsr_generator(sd, prefix=""):
+    """Generator_GCFSR (GCFSR_modules.py:404-636) -> nn/gcfsr.py paths.
+    Same skeleton as convert_stylegan2_generator, plus the GCFSR extras:
+    noise.weight lives as a direct `noise_weight` param in the flax
+    StyledConv, and merge='*modulation' variants carry a
+    feat_mod.conv0 EqualConv2d per styled conv."""
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+
+    def take(k):
+        consumed.add(k)
+        return sd[k]
+
+    n_mlp = len([k for k in sd if k.startswith("style.")
+                 and k.endswith(".weight")])
+    for i in range(1, n_mlp + 1):   # style.0 is PixelNorm (no params)
+        out[f"{p}style_{i - 1}/weight"] = linear_w(take(f"style.{i}.weight"))
+        out[f"{p}style_{i - 1}/bias"] = _t(take(f"style.{i}.bias"))
+
+    out[f"{p}input"] = np.transpose(_t(take("input.input")), (0, 2, 3, 1))
+
+    def styled_conv(dst, src):
+        out[f"{dst}/conv/weight"] = modconv_w(take(f"{src}.conv.weight"))
+        out[f"{dst}/conv/modulation/weight"] = linear_w(
+            take(f"{src}.conv.modulation.weight"))
+        out[f"{dst}/conv/modulation/bias"] = _t(
+            take(f"{src}.conv.modulation.bias"))
+        out[f"{dst}/noise_weight"] = _t(take(f"{src}.noise.weight"))
+        if f"{src}.feat_mod.conv0.weight" in sd:
+            out[f"{dst}/feat_mod/conv0/weight"] = conv_w(
+                take(f"{src}.feat_mod.conv0.weight"))
+            out[f"{dst}/feat_mod/conv0/bias"] = _t(
+                take(f"{src}.feat_mod.conv0.bias"))
+        out[f"{dst}/activate/bias"] = _t(take(f"{src}.activate.bias"))
+
+    def to_rgb(dst, src):
+        out[f"{dst}/conv/weight"] = modconv_w(take(f"{src}.conv.weight"))
+        out[f"{dst}/conv/modulation/weight"] = linear_w(
+            take(f"{src}.conv.modulation.weight"))
+        out[f"{dst}/conv/modulation/bias"] = _t(
+            take(f"{src}.conv.modulation.bias"))
+        out[f"{dst}/bias"] = _t(take(f"{src}.bias")).reshape(-1)
+
+    styled_conv(f"{p}conv1", "conv1")
+    to_rgb(f"{p}to_rgb1", "to_rgb1")
+    n_pairs = len([k for k in sd if k.startswith("to_rgbs.")
+                   and k.endswith(".bias") and ".modulation" not in k
+                   and ".conv." not in k])
+    for i in range(2 * n_pairs):
+        styled_conv(f"{p}convs_{i}", f"convs.{i}")
+    for i in range(n_pairs):
+        to_rgb(f"{p}to_rgbs_{i}", f"to_rgbs.{i}")
+
+    leftovers = [k for k in sd if k not in consumed
+                 and not k.startswith("noises.")
+                 and not k.endswith("kernel")]
+    return out, leftovers
+
+
 def convert_arcface_resnet(sd, prefix="", layers=(2, 2, 2, 2)):
     """ResNetArcFace (face_id/arcface_arch.py:171-245, IRBlock trunk) ->
     nn/arcface_resnet.py paths. The reference IRBlock applies ONE shared
