@@ -21,7 +21,8 @@ sys.path.insert(0, "tools")
 
 from ref_compat import load_reference_module, to_nhwc, from_nhwc
 from convert_torch_weights import (convert_stylegan2_generator,
-                                   convert_gcfsr_generator)
+                                   convert_gcfsr_generator,
+                                   convert_latent_discriminator)
 from test_reference_parity import (perturb_state_dict, clean, unflatten,
                                    assert_tree_matches_init)
 
@@ -166,3 +167,32 @@ def test_gcfsr_generator_golden():
     ref_img = run_ref(condition=[[from_nhwc(scale_np), from_nhwc(shift_np)]],
                       cond_ind=[3], mod_type="SFT")
     np.testing.assert_allclose(np.asarray(img), ref_img, atol=1e-4, rtol=0)
+
+
+def test_latent_discriminator_golden():
+    """LatentDiscrinimator (Discriminator_arch.py:28-47): the W+ latent
+    critic of the 3-optimizer GAN step. hidden_chn=1 as the shipped configs
+    set it (options/train/E4E_Face.yml network_d_latent)."""
+    from ood_gan_inversion_tpu.archs.discriminators import LatentDiscriminator
+
+    m = load_reference_module("src.archs.Discriminator_arch")
+    torch.manual_seed(5)
+    ref = m.LatentDiscrinimator(chn=18, dim=64, n_mlp=3, hidden_chn=1)
+    ref.eval()
+    sd = perturb_state_dict(ref, seed=23)
+
+    flat, leftovers = convert_latent_discriminator(sd)
+    assert not leftovers, leftovers
+    flat = clean(flat)
+
+    d = LatentDiscriminator(chn=18, dim=64, n_mlp=3, hidden_chn=1)
+    w = np.random.RandomState(10).randn(4, 18, 64).astype(np.float32)
+    init = d.init(jax.random.PRNGKey(0), jnp.asarray(w))
+    assert_tree_matches_init(flat, init["params"], "latent_d")
+    params = unflatten(flat)
+
+    with torch.no_grad():
+        ref_score, _ = ref(torch.from_numpy(w))
+    score, _ = d.apply({"params": params}, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(score), ref_score.numpy(),
+                               atol=1e-5, rtol=0)

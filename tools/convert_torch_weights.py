@@ -526,6 +526,28 @@ def convert_ood_e4e_arch(sd):
     return out, leftovers
 
 
+def convert_latent_discriminator(sd, prefix=""):
+    """LatentDiscrinimator (Discriminator_arch.py:28-47) ->
+    archs/discriminators.py LatentDiscriminator paths: first_linear,
+    layers.{i} -> layer_{i}, final_linear."""
+    p = (prefix + "/") if prefix else ""
+    out = {}
+    consumed = set()
+
+    def lin(dst, src):
+        out[f"{dst}/weight"] = linear_w(sd[f"{src}.weight"])
+        out[f"{dst}/bias"] = _t(sd[f"{src}.bias"])
+        consumed.update({f"{src}.weight", f"{src}.bias"})
+
+    lin(f"{p}first_linear", "first_linear")
+    n_layers = len({k.split(".")[1] for k in sd if k.startswith("layers.")})
+    for i in range(n_layers):
+        lin(f"{p}layer_{i}", f"layers.{i}")
+    lin(f"{p}final_linear", "final_linear")
+    leftovers = [k for k in sd if k not in consumed and not structural_key(k)]
+    return out, leftovers
+
+
 def convert_gcfsr_generator(sd, prefix=""):
     """Generator_GCFSR (GCFSR_modules.py:404-636) -> nn/gcfsr.py paths.
     Same skeleton as convert_stylegan2_generator, plus the GCFSR extras:
