@@ -29,6 +29,7 @@ Gating: OGI_XLA_WARP=1 (nn/samm.py), mutually exclusive with OGI_MXU_WARP
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,16 +38,23 @@ from jax import lax
 from .grid_sample import grid_sample_bilinear
 from .pallas_warp import max_disp_px, warp_blend_reference  # noqa: F401
 
+# OGI_XLA_WARP_BF16=1: materialize the row bands and the horizontal
+# interpolation matrix in bf16 (fp32 dot accumulation). Halves the HBM
+# traffic of the two large intermediates (xband, g) — the cost that
+# dominates this formulation — at bf16 rounding of the warped feature.
+_BF16 = os.environ.get("OGI_XLA_WARP_BF16", "0") == "1"
+
 
 def _xla_warp_blend_fwd(target, grid, alpha, p: int):
     b, h, w, c = target.shape
     kv = 2 * p + 1
     fdt = jnp.float32
+    bdt = jnp.bfloat16 if _BF16 else target.dtype
 
     # zero padding reproduces padding_mode='zeros': under the max_disp_px
     # bound every tap lands inside the padded frame, and out-of-image taps
     # read the zero border
-    xp = jnp.pad(target, [(0, 0), (p, p), (p, p), (0, 0)])
+    xp = jnp.pad(target.astype(bdt), [(0, 0), (p, p), (p, p), (0, 0)])
     wp = w + 2 * p
     # overlapping row bands: xband[b, i, v] = padded row i + v (true rows
     # [i - p, i + p] of output row i)
@@ -71,11 +79,14 @@ def _xla_warp_blend_fwd(target, grid, alpha, p: int):
     vw = (jnp.where(jv == ky0[..., None], (1.0 - wy)[..., None], 0.0)
           + jnp.where(jv == ky0[..., None] + 1, wy[..., None], 0.0))
 
-    # (b,i)[j,u] x (b,i)[v,u,c] -> (b,i)[j,(v,c)]
-    g = lax.dot_general(hw.astype(target.dtype), xband,
+    # (b,i)[j,u] x (b,i)[v,u,c] -> (b,i)[j,(v,c)]. The MXU accumulates in
+    # fp32 either way; bf16 g halves the biggest intermediate's HBM bytes
+    # at one rounding of the already-interpolated value.
+    g = lax.dot_general(hw.astype(bdt), xband,
                         (((3,), (3,)), ((0, 1), (0, 1))),
-                        preferred_element_type=fdt)  # (B, H, W, KV, C)
-    warped = jnp.sum(vw[..., None] * g, axis=3).astype(target.dtype)
+                        preferred_element_type=bdt if _BF16 else fdt)
+    warped = jnp.sum(vw[..., None] * g.astype(fdt),
+                     axis=3).astype(target.dtype)
 
     al = alpha if alpha.ndim == 4 else alpha[..., None]
     al = al.astype(target.dtype)

@@ -82,3 +82,17 @@ def test_spmwarp_with_xla_warp_matches_default(monkeypatch):
                      jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_bands_track_fp32(monkeypatch):
+    """OGI_XLA_WARP_BF16=1: bf16 bands/dot, fp32 epilogue — must track the
+    fp32 reference within bf16 rounding and keep the output dtype."""
+    monkeypatch.setattr(mw, "_BF16", True)
+    b, size, c, scale = 2, 32, 64, 0.08
+    x, grid, alpha = _mk(b, size, c, scale, seed=9)
+    p = max_disp_px(scale, size)
+    ref = warp_blend_reference(x, grid, alpha)
+    out = mw.xla_warp_blend(x, grid, alpha, p)
+    assert out.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)

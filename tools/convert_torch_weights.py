@@ -694,6 +694,16 @@ CONVERTERS = {
     # OOD_faceGAN_model.py:968-973) and a full-arch state_dict
     "ood_modulation": lambda sd: convert_ood_modulation(sd),
     "ood_e4e": lambda sd: convert_ood_e4e_arch(sd),
+    "ood_restyle": lambda sd: convert_ood_restyle_arch(sd),
+    "ood_fs": lambda sd: convert_ood_fs_arch(sd),
+    "restyle_encoder": lambda sd: convert_restyle_encoder(sd),
+    "fs_encoder": lambda sd: convert_fs_encoder(sd),
+    "arcface_resnet": lambda sd: convert_arcface_resnet(sd),
+    "latent_d": lambda sd: convert_latent_discriminator(sd),
+    "gcfsr": lambda sd: convert_gcfsr_generator(sd),
+    # the GPEN-variant generator shares the rosinality module layout, so the
+    # stylegan2 mapping applies verbatim (tests/test_reference_parity_families)
+    "gpen": lambda sd: convert_stylegan2_generator(sd, prefix=""),
 }
 
 
