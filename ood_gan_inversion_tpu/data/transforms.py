@@ -100,7 +100,9 @@ def imresize(img: np.ndarray, scale: float,
 
     mat_h = _resize_matrix(in_h, out_h, scale, antialiasing)
     mat_w = _resize_matrix(in_w, out_w, scale, antialiasing)
-    out = np.einsum("Hh,hwc,Ww->HWc", mat_h, img.astype(np.float64), mat_w)
+    # Two BLAS matmuls, not a 3-operand einsum (which numpy loops).
+    tmp = np.tensordot(mat_h, img.astype(np.float64), axes=(1, 0))  # (H, w, c)
+    out = np.tensordot(tmp, mat_w, axes=(1, 1)).transpose(0, 2, 1)  # (H, W, c)
     out = out.astype(np.float32)
     return out[:, :, 0] if squeeze else out
 

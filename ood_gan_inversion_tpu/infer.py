@@ -91,6 +91,24 @@ class InversionEngine:
         jax.block_until_ready(out["image"])
         return out
 
+    def invert_batch_perkey(self, imgs01, keys):
+        """Batched inversion with one noise PRNGKey per sample (vmapped noise
+        stream). A sample's output depends only on its own key — not on its
+        slot in the coalesced batch or on the padded batch size — which makes
+        serving replies reproducible."""
+        x = np.stack([img2input(im, self.out_size)[0] for im in imgs01], 0)
+        if not hasattr(self, "_fwd_perkey"):
+            one = lambda p, xi, k: self.net.apply(
+                {"params": p}, xi[None], mod_size=self.mod_size,
+                rngs={"noise": k})
+            self._fwd_perkey = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0)), device=self.device)
+        out = self._fwd_perkey(self.params, jnp.asarray(x),
+                               jnp.asarray(keys))
+        out = jax.tree_util.tree_map(lambda a: a[:, 0], out)
+        jax.block_until_ready(out["image"])
+        return out
+
     def invert_spatial(self, img01, rng, mesh=None, min_h: int = 512):
         """Single-image latency scale-out: the >=min_h decode stages are
         H-sharded over an 'sp' mesh (parallel/spatial.py) so GSPMD splits
@@ -101,7 +119,10 @@ class InversionEngine:
                                  axes=("sp",))
         x = jnp.asarray(img2input(img01, self.out_size))
         params = jax.device_put(self.params, replicate_sharding(mesh))
-        key = (id(mesh), min_h)
+        # Mesh implements __eq__/__hash__: the default-path fresh Mesh per
+        # call still hits the cache (id() would retrace every call and could
+        # alias a GC'd mesh's reused id).
+        key = (mesh, min_h)
         if getattr(self, "_sp_key", None) != key:
             # fresh trace inside the SP context (constraints bake at trace)
             self._sp_key = key

@@ -636,9 +636,12 @@ class OODFaceGANModel:
                     aux["l_style"] = l_s
                     total += l_s
             if self.cri_latent_reg is not None:
-                l_lr = self.cri_latent_reg(
-                    train_direct["delta_latent"],
-                    jnp.zeros_like(train_direct["delta_latent"]))
+                # delta_latent may be frozen (fix_and_grad): fall back to the
+                # frozen subtree like the split _g_phase's merged read does
+                dl = (train_direct["delta_latent"]
+                      if "delta_latent" in train_direct
+                      else state.params_g_frozen["delta_latent"])
+                l_lr = self.cri_latent_reg(dl, jnp.zeros_like(dl))
                 aux["l_latent_reg"] = l_lr
                 total += l_lr
             if self.cri_mask is not None and aligns_o:

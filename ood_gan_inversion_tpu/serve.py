@@ -48,15 +48,19 @@ class BatchingServer:
     def _run_batch(self, imgs):
         n = len(imgs)
         b = min(_round_pow2(n), self.max_batch)
-        x = np.stack(imgs, 0)
+        imgs = list(imgs)
         if b > n:                      # pad to the compiled batch shape
-            x = np.concatenate([x, np.repeat(x[-1:], b - n, 0)], 0)
+            imgs.extend(imgs[-1:] * (b - n))
             self._stats["padded"] += b - n
-        out = self.engine.invert_batch(x, jax.random.PRNGKey(0))
+        # One fixed key per sample: a request's noise (hence its reply) is
+        # independent of its slot in the coalesced batch and of the padding.
+        keys = np.stack([np.asarray(jax.random.PRNGKey(0))] * b, 0)
+        out = self.engine.invert_batch_perkey(imgs, keys)
         return out, n
 
     async def _collector(self):
-        while True:
+        stopping = False
+        while not stopping:
             first = await self._queue.get()
             if first is None:
                 return
@@ -71,12 +75,23 @@ class BatchingServer:
                 except asyncio.TimeoutError:
                     break
                 if item is None:
+                    stopping = True   # drain this batch, then exit the loop
                     break
                 batch.append(item)
             imgs = [b[0] for b in batch]
             loop = asyncio.get_running_loop()
-            out, n = await loop.run_in_executor(
-                None, self._run_batch, imgs)
+            try:
+                out, n = await loop.run_in_executor(
+                    None, self._run_batch, imgs)
+            except Exception as e:
+                # a bad request (shape mismatch, OOM, ...) must not kill the
+                # collector: fail this batch's futures and keep serving
+                self._stats["errors"] = self._stats.get("errors", 0) + len(batch)
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(
+                            RuntimeError(f"batch dispatch failed: {e!r}"))
+                continue
             self._stats["requests"] += n
             self._stats["batches"] += 1
             image = np.asarray(out["image"].astype(jnp.float32))
@@ -126,6 +141,15 @@ class BatchingServer:
                     img = np.frombuffer(raw, np.float32).reshape(shape)
                     image, mask = await self.invert(img)
                     body = image.tobytes() + (mask.tobytes() if mask is not None else b"")
+                    extra = (b"x-shape: " + json.dumps(list(image.shape)).encode()
+                             + b"\r\nx-mask-shape: "
+                             + json.dumps(list(mask.shape) if mask is not None
+                                          else None).encode() + b"\r\n")
+                    writer.write(b"HTTP/1.1 200 OK\r\n" + extra
+                                 + b"content-length: "
+                                 + str(len(body)).encode() + b"\r\n\r\n" + body)
+                    await writer.drain()
+                    return
                 writer.write(b"HTTP/1.1 200 OK\r\ncontent-length: "
                              + str(len(body)).encode() + b"\r\n\r\n" + body)
                 await writer.drain()

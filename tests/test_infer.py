@@ -84,6 +84,40 @@ def test_load_pretrained_npz_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(out["image"])).all()
 
 
+def test_invert_spatial_default_mesh_does_not_retrace(img_dir):
+    """The spatial-sharded forward caches on Mesh equality: the default-mesh
+    path builds a fresh (but equal) Mesh per call and must NOT retrace
+    (a retrace is a ~25 s remote recompile per image on the axon backend)."""
+    from ood_gan_inversion_tpu.infer import InversionEngine
+    from ood_gan_inversion_tpu.utils.img_util import imread
+
+    eng = InversionEngine(tiny_opt(img_dir))
+    img = imread(osp.join(img_dir, "0.png"))
+    o1 = eng.invert_spatial(img, jax.random.PRNGKey(0))
+    fwd1 = eng._sp_fwd
+    o2 = eng.invert_spatial(img, jax.random.PRNGKey(0))
+    assert eng._sp_fwd is fwd1          # same compiled fn object
+    assert fwd1._cache_size() == 1       # and exactly one trace in its cache
+    np.testing.assert_allclose(np.asarray(o1["image"]),
+                               np.asarray(o2["image"]), atol=1e-6)
+
+
+def test_invert_batch_perkey_slot_independent(img_dir):
+    """Per-sample-key batched inversion: a sample's output must not depend on
+    its slot or on the batch size (the serving determinism contract)."""
+    from ood_gan_inversion_tpu.infer import InversionEngine
+    from ood_gan_inversion_tpu.utils.img_util import imread
+
+    eng = InversionEngine(tiny_opt(img_dir))
+    a = imread(osp.join(img_dir, "0.png"))
+    b = imread(osp.join(img_dir, "1.png"))
+    k = np.asarray(jax.random.PRNGKey(0))
+    solo = eng.invert_batch_perkey([a], k[None])
+    quad = eng.invert_batch_perkey([b, b, b, a], np.stack([k] * 4))
+    np.testing.assert_allclose(np.asarray(quad["image"][3]),
+                               np.asarray(solo["image"][0]), atol=1e-5)
+
+
 def test_invert_batch_sharded_over_mesh(img_dir):
     """Sharded batch inversion over the virtual 8-device mesh must match the
     per-image path."""

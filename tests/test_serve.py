@@ -46,12 +46,51 @@ def test_concurrent_requests_are_batched(engine):
     assert srv.stats["requests"] == 5
     assert srv.stats["batches"] <= 3
 
-    # response i must equal the direct single-image inversion of image i
+    # response i must EXACTLY equal the direct per-key inversion of image i:
+    # per-sample noise keys make the reply independent of the batch slot and
+    # of the padded batch size the request happened to land in
     for im, (image, mask) in zip(imgs, outs):
-        ref = engine.invert_batch([im], jax.random.PRNGKey(0))
+        ref = engine.invert_batch_perkey(
+            [im], np.asarray(jax.random.PRNGKey(0))[None])
         np.testing.assert_allclose(
-            image, np.asarray(ref["image"][0]), atol=2e-3)
+            image, np.asarray(ref["image"][0]), atol=1e-5)
         assert mask is not None
+
+
+def test_dispatch_error_does_not_kill_collector(engine):
+    srv = BatchingServer(engine, max_batch=2, max_wait_ms=5.0)
+    good = np.random.RandomState(2).rand(64, 64, 3).astype(np.float32)
+    bad = np.zeros((64, 64, 1), np.float32)  # wrong channel count
+
+    async def run():
+        await srv.start()
+        with pytest.raises(RuntimeError, match="batch dispatch failed"):
+            await srv.invert(bad)
+        # the collector must still be alive and serve the next request
+        image, _ = await asyncio.wait_for(srv.invert(good), timeout=120)
+        await asyncio.wait_for(srv.stop(), timeout=30)
+        return image
+
+    image = asyncio.run(run())
+    assert np.isfinite(image).all()
+    assert srv.stats["errors"] == 1
+
+
+def test_stop_during_coalesce_window_terminates(engine):
+    # the shutdown sentinel must not be swallowed by the batch-collection
+    # inner loop: stop() while a request is being coalesced must return
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=2000.0)
+    img = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
+
+    async def run():
+        await srv.start()
+        req = asyncio.create_task(srv.invert(img))
+        await asyncio.sleep(0.1)  # collector is now inside the wait window
+        await asyncio.wait_for(srv.stop(), timeout=120)
+        return await req
+
+    image, _ = asyncio.run(run())
+    assert np.isfinite(image).all()
 
 
 def test_http_transport(engine):
@@ -71,10 +110,26 @@ def test_http_transport(engine):
         await writer.drain()
         status = await reader.readline()
         assert b"200" in status
-        while (await reader.readline()).strip():
-            pass
-        image = np.frombuffer(await reader.readexactly(64 * 64 * 3 * 4),
-                              np.float32).reshape(64, 64, 3)
+        rhdrs = {}
+        while True:
+            h = (await reader.readline()).decode().strip()
+            if not h:
+                break
+            k, _, v = h.partition(":")
+            rhdrs[k.strip().lower()] = v.strip()
+        # response framing: x-shape / x-mask-shape headers say how to split
+        # the image+mask body without out-of-band knowledge
+        ishape = tuple(json.loads(rhdrs["x-shape"]))
+        mshape = json.loads(rhdrs["x-mask-shape"])
+        nb_img = int(np.prod(ishape)) * 4
+        image = np.frombuffer(await reader.readexactly(nb_img),
+                              np.float32).reshape(ishape)
+        total = int(rhdrs["content-length"])
+        if mshape is not None:
+            mask = np.frombuffer(
+                await reader.readexactly(total - nb_img),
+                np.float32).reshape(tuple(mshape))
+            assert np.isfinite(mask).all()
         writer.close()
 
         # stats endpoint

@@ -238,6 +238,21 @@ def test_validation_scores_every_mimo_view(monkeypatch, tmp_path):
     assert np.isfinite(res["psnr"])
 
 
+def test_fused_step_latent_reg_with_frozen_delta_latent():
+    """latent_reg_opt with delta_latent frozen (the default — no
+    optim_delta_latent) must work in the fused step: the regularizer falls
+    back to the frozen subtree instead of KeyError'ing on the trainables."""
+    opt = micro_opt()
+    opt["train"]["latent_reg_opt"] = {"type": "MSELoss", "loss_weight": 0.1}
+    model = build_model(opt)
+    assert model.fused_step
+    state = model.init_state(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    assert "delta_latent" in state.params_g_frozen
+    batch = make_batch(jax.random.PRNGKey(1))
+    _, logs = model.train_step(state, batch, jax.random.PRNGKey(2), 0)
+    assert "l_latent_reg" in logs and np.isfinite(float(logs["l_latent_reg"]))
+
+
 def test_model_train_step_mimo_k2():
     """MIMO K=2 path: batch (B,2,...) flattens through the arch; the ID-loss
     cross-output term sees the (B,K) score."""
