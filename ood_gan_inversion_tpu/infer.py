@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .archs import build_network
 from .parallel import (make_mesh, shard_batch, replicate_sharding,
-                       spatial_sharding)
+                       batch_sharding, spatial_sharding)
 from .utils.img_util import imread, img2input, tensor2img, imwrite
 from .utils.logger import get_root_logger
 from .metrics import calculate_metric
@@ -105,6 +105,36 @@ class InversionEngine:
                 jax.vmap(one, in_axes=(None, 0, 0)), device=self.device)
         out = self._fwd_perkey(self.params, jnp.asarray(x),
                                jnp.asarray(keys))
+        out = jax.tree_util.tree_map(lambda a: a[:, 0], out)
+        jax.block_until_ready(out["image"])
+        return out
+
+    def invert_batch_perkey_sharded(self, imgs01, keys, mesh):
+        """Per-sample-key batched inversion data-sharded over a mesh (the
+        multi-chip serving path: one coalesced dispatch spreads its samples
+        across chips; replies keep the per-key determinism contract).
+        len(imgs01) must divide the mesh's 'data' axis size."""
+        x = np.stack([img2input(im, self.out_size)[0] for im in imgs01], 0)
+        if getattr(self, "_pk_mesh", None) != mesh:
+            self._pk_mesh = mesh
+            one = lambda p, xi, k: self.net.apply(
+                {"params": p}, xi[None], mod_size=self.mod_size,
+                rngs={"noise": k})
+            self._pk_sharded = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0)),
+                in_shardings=(replicate_sharding(mesh),
+                              batch_sharding(mesh), batch_sharding(mesh)))
+            self._pk_params_src = None
+        if self._pk_params_src != id(self.params):
+            # replicate once per params version (apply_direction swaps the
+            # dict), not once per dispatch
+            self._pk_params = jax.device_put(self.params,
+                                             replicate_sharding(mesh))
+            self._pk_params_src = id(self.params)
+        sh = batch_sharding(mesh)
+        out = self._pk_sharded(self._pk_params,
+                               jax.device_put(jnp.asarray(x), sh),
+                               jax.device_put(jnp.asarray(keys), sh))
         out = jax.tree_util.tree_map(lambda a: a[:, 0], out)
         jax.block_until_ready(out["image"])
         return out

@@ -36,18 +36,30 @@ def _round_pow2(n):
 
 
 class BatchingServer:
-    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0):
+    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — coalesced batches are then
+        data-sharded across its devices (multi-chip serving), padded so the
+        batch divides the mesh size."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        self.mesh = mesh
         self._queue: asyncio.Queue = asyncio.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded": 0}
         self._collector_task = None
 
     # ------------------------------------------------------------- dispatch
+    def _batch_size_for(self, n):
+        b = min(_round_pow2(n), self.max_batch)
+        if self.mesh is not None:      # shardable: divide the mesh size
+            m = self.mesh.devices.size
+            b = max(-(-b // m) * m, m)
+        return b
+
     def _run_batch(self, imgs):
         n = len(imgs)
-        b = min(_round_pow2(n), self.max_batch)
+        b = self._batch_size_for(n)
         imgs = list(imgs)
         if b > n:                      # pad to the compiled batch shape
             imgs.extend(imgs[-1:] * (b - n))
@@ -55,8 +67,24 @@ class BatchingServer:
         # One fixed key per sample: a request's noise (hence its reply) is
         # independent of its slot in the coalesced batch and of the padding.
         keys = np.stack([np.asarray(jax.random.PRNGKey(0))] * b, 0)
-        out = self.engine.invert_batch_perkey(imgs, keys)
+        if self.mesh is not None:
+            out = self.engine.invert_batch_perkey_sharded(imgs, keys,
+                                                          self.mesh)
+        else:
+            out = self.engine.invert_batch_perkey(imgs, keys)
         return out, n
+
+    def warmup(self):
+        """Pre-compile every dispatchable batch shape with dummy inputs so
+        live traffic never pays the (~25 s remote) XLA compile: one forward
+        per distinct pow2 (mesh-rounded) batch size."""
+        size = self.engine.out_size
+        dummy = np.zeros((size, size, 3), np.float32)
+        sizes = sorted({self._batch_size_for(n)
+                        for n in range(1, self.max_batch + 1)})
+        for b in sizes:
+            self._run_batch([dummy] * b)
+        return sizes
 
     async def _collector(self):
         stopping = False
@@ -135,7 +163,10 @@ class BatchingServer:
                 if line.split()[0] == b"GET":
                     body = json.dumps(self.stats).encode()
                 else:
-                    shape = tuple(json.loads(headers["x-shape"]))
+                    hs = headers["x-shape"].strip()
+                    # JSON "[H, W, 3]" or bare "H,W,3"
+                    shape = tuple(json.loads(hs) if hs.startswith("[")
+                                  else (int(t) for t in hs.split(",")))
                     nbytes = int(headers["content-length"])
                     raw = await reader.readexactly(nbytes)
                     img = np.frombuffer(raw, np.float32).reshape(shape)

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--port", type=int, default=8471)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile every dispatchable batch shape before "
+                         "accepting traffic (no compile stall on first hits)")
+    ap.add_argument("--shard-devices", type=int, default=0,
+                    help="data-shard each coalesced batch over this many "
+                         "accelerator devices (0 = single-device dispatch)")
     args = ap.parse_args()
 
     with open(args.opt) as f:
@@ -49,10 +55,20 @@ def main():
     from ood_gan_inversion_tpu.serve import BatchingServer
 
     engine = InversionEngine(opt, params=params)
+    mesh = None
+    if args.shard_devices > 1:
+        import jax
+        from ood_gan_inversion_tpu.parallel import make_mesh
+        accel = [d for d in jax.devices() if d.platform != "cpu"]
+        mesh = make_mesh((accel or jax.devices())[:args.shard_devices])
     srv = BatchingServer(engine, max_batch=args.max_batch,
-                         max_wait_ms=args.max_wait_ms)
+                         max_wait_ms=args.max_wait_ms, mesh=mesh)
+    if args.warmup:
+        sizes = srv.warmup()
+        print(f"warmed batch shapes: {sizes}")
     print(f"serving on {args.host}:{args.port} "
-          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms, "
+          f"shard={args.shard_devices or 1})")
     asyncio.run(srv.serve_http(args.host, args.port))
 
 

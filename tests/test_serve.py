@@ -93,6 +93,51 @@ def test_stop_during_coalesce_window_terminates(engine):
     assert np.isfinite(image).all()
 
 
+def test_mesh_sharded_dispatch_matches_single_device(engine):
+    """mesh= server: coalesced batches are data-sharded over the virtual
+    8-device mesh; replies must be identical to single-device per-key
+    dispatch (the determinism contract survives sharding)."""
+    from ood_gan_inversion_tpu.parallel import make_mesh
+    mesh = make_mesh(jax.devices())          # 8 virtual CPU devices
+    srv = BatchingServer(engine, max_batch=8, max_wait_ms=50.0, mesh=mesh)
+    assert srv._batch_size_for(1) == 8       # padded up to the mesh size
+    rs = np.random.RandomState(7)
+    imgs = [rs.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+
+    async def run():
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(im) for im in imgs])
+        await srv.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    for im, (image, _) in zip(imgs, outs):
+        ref = engine.invert_batch_perkey(
+            [im], np.asarray(jax.random.PRNGKey(0))[None])
+        np.testing.assert_allclose(
+            image, np.asarray(ref["image"][0]), atol=1e-5)
+
+
+def test_warmup_precompiles_every_batch_shape(engine):
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=5.0)
+    sizes = srv.warmup()
+    assert sizes == [1, 2, 4]
+    # every dispatchable shape is now in the jit cache: no new trace when a
+    # real request arrives
+    cached = engine._fwd_perkey._cache_size()
+    img = np.random.RandomState(9).rand(64, 64, 3).astype(np.float32)
+
+    async def run():
+        await srv.start()
+        out = await srv.invert(img)
+        await srv.stop()
+        return out
+
+    image, _ = asyncio.run(run())
+    assert np.isfinite(image).all()
+    assert engine._fwd_perkey._cache_size() == cached
+
+
 def test_http_transport(engine):
     srv = BatchingServer(engine, max_batch=2, max_wait_ms=5.0)
 
@@ -146,6 +191,17 @@ def test_http_transport(engine):
             hdrs[k.strip().lower()] = v.strip()
         stats = json.loads(await r2.readexactly(int(hdrs["content-length"])))
         w2.close()
+
+        # bare comma x-shape form ("64,64,3") is accepted too
+        r3, w3 = await asyncio.open_connection("127.0.0.1", 8473)
+        w3.write(
+            b"POST /invert HTTP/1.1\r\n"
+            b"x-shape: " + ",".join(map(str, img.shape)).encode() + b"\r\n"
+            b"content-length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+        await w3.drain()
+        assert b"200" in await r3.readline()
+        w3.close()
         task.cancel()
         return image, stats
 
