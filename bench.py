@@ -86,18 +86,20 @@ def main():
 
     net = build_network(ARCH_OPT)
     rng = jax.random.PRNGKey(0)
-    x_host = np.random.RandomState(0).randn(1, 1024, 1024, 3).astype(np.float32)
+    size = ARCH_OPT["out_size"]
+    mod = min(256, size)
+    x_host = np.random.RandomState(0).randn(1, size, size, 3).astype(np.float32)
 
     # init on CPU (fast — avoids a huge remote compile of the init program)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = net.init({"params": rng, "noise": rng},
-                             jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+                             jnp.zeros((1, size, size, 3)), mod_size=mod)
     params = jax.device_put(variables["params"], dev)
     x = jax.device_put(jnp.asarray(x_host), dev)
 
     fwd = jax.jit(
-        lambda p, xx, k: net.apply({"params": p}, xx, mod_size=256,
+        lambda p, xx, k: net.apply({"params": p}, xx, mod_size=mod,
                                    rngs={"noise": k}),
         device=dev)
 
@@ -106,7 +108,9 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    warmup, iters, windows = 3, 20, 3
+    warmup = 3
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     for i in range(warmup):
         out = fwd(params, x, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
@@ -130,6 +134,30 @@ def main():
           f"(mean {mean_dt * 1000:.2f} +- {std_dt * 1000:.2f})",
           file=sys.stderr)
 
+    # secondary: batched serving throughput (the coalescing server's fast
+    # path, serve.py) — same program at batch BENCH_BATCH, imgs/sec/chip
+    batch_ips = None
+    bb = int(os.environ.get("BENCH_BATCH", "8"))
+    if bb > 1:
+        xb = jax.device_put(jnp.asarray(np.repeat(x_host, bb, 0)), dev)
+        t0 = time.time()
+        out = fwd(params, xb, jax.random.PRNGKey(2))
+        jax.block_until_ready(out)
+        print(f"batch-{bb} compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        biters = max(iters // bb, int(os.environ.get("BENCH_BATCH_ITERS",
+                                                      "3")))
+        b_means = []
+        for wi in range(windows):
+            t0 = time.perf_counter()
+            for i in range(biters):
+                out = fwd(params, xb, jax.random.PRNGKey(500 + wi * 50 + i))
+            jax.block_until_ready(out)
+            b_means.append((time.perf_counter() - t0) / biters)
+        batch_ips = bb / min(b_means)
+        print(f"batch-{bb}: {min(b_means) * 1000 / bb:.2f} ms/img "
+              f"({batch_ips:.1f} imgs/s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "celebahq_1024px_inversions_per_sec_per_chip",
         "value": round(ips, 3),
@@ -139,6 +167,8 @@ def main():
         "mean_imgs_per_sec": round(1.0 / mean_dt, 3),
         "window_ms_mean": round(mean_dt * 1000, 2),
         "window_ms_std": round(std_dt * 1000, 2),
+        **({"batch%d_imgs_per_sec" % bb: round(batch_ips, 3)}
+           if batch_ips is not None else {}),
     }))
 
 
