@@ -52,7 +52,7 @@ _KNOWN_TRAIN_KEYS = {
     "skip_latent_g", "skip_gen_g", "which_gt", "grad_clip_norm",
     "r1_reg_weight", "path_reg_weight", "path_batch_shrink",
     "net_d_reg_every", "net_g_reg_every", "remat", "ema_decay",
-    "fused_step",
+    "fused_step", "g_gan_live_grad",
 }
 # accepted by the reference model but inert there too (dead loss hooks with
 # no loss class behind them, OOD_faceGAN_model.py:184-238, or knobs of the
@@ -248,6 +248,13 @@ class OODFaceGANModel:
         self.net_g_reg_every = train_opt.get("net_g_reg_every", 4)
         self.grad_clip_norm = train_opt.get("grad_clip_norm", 999.0)
         self.which_gt = train_opt.get("which_gt", "gt")
+        # The reference's G-phase adversarial terms are gradient-DEAD: infer
+        # scores the DETACHED fake (OOD_faceGAN_model.py:491 net_d(fake_hr
+        # .detach()), :494 net_d2(latents.detach())) and the G step reuses
+        # those predictions, so l_g / l_latent_g add loss value but zero
+        # gradient to G. Default matches that; set g_gan_live_grad: true for
+        # live adversarial gradients into the encoder/generator.
+        self.g_gan_live_grad = train_opt.get("g_gan_live_grad", False)
         # rematerialize the loss nets + D inside the G step: their forward
         # activations (VGG19 at full res is GBs at 1024px) are recomputed in
         # the backward instead of stored — required to fit 1024px training in
@@ -340,7 +347,16 @@ class OODFaceGANModel:
                                lr_schedule(lr_base), betas=d_betas))
 
         self.tx_d = lambda: d_adam(od.get("lr", 2e-5), od)
-        self.tx_d2 = lambda: d_adam(od2.get("lr", 2e-6), od2)
+        # reference quirk (OOD_faceGAN_model.py:389): the d2 param GROUP is
+        # built with optim_d's lr — the group lr overrides the optim_d2 lr
+        # passed to the optimizer ctor, so the latent D actually trains at
+        # optim_d.lr. Mirror that; warn when the config implies otherwise.
+        if od2.get("lr") is not None and od2.get("lr") != od.get("lr", 2e-5):
+            logger.warning(
+                "optim_d2.lr=%s is ignored (latent D trains at optim_d.lr=%s"
+                " — reference param-group quirk, OOD_faceGAN_model.py:389)",
+                od2.get("lr"), od.get("lr", 2e-5))
+        self.tx_d2 = lambda: d_adam(od.get("lr", 2e-5), od2)
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_shape) -> TrainState:
@@ -589,16 +605,20 @@ class OODFaceGANModel:
             fake_o, lats_o, aligns_o = outs
             total = jnp.zeros(())
             aux = {}
+            # reference semantics: adversarial G terms are computed on the
+            # detached fake/latents (see g_gan_live_grad note in __init__)
+            sg = (lambda t: t) if self.g_gan_live_grad \
+                else jax.lax.stop_gradient
             if do_d:
                 d_apply = lambda f: self.net_d.apply({"params": new_d}, f)[0]
-                if self.use_remat:
+                if self.use_remat and self.g_gan_live_grad:
                     d_apply = jax.checkpoint(d_apply)
-                l_g = self.cri_gan(d_apply(fake_o), True, is_disc=False)
+                l_g = self.cri_gan(d_apply(sg(fake_o)), True, is_disc=False)
                 aux["l_g"] = l_g
                 total += l_g
             if do_d2:
                 fake_lat_pred, _ = self.net_d2.apply({"params": new_d2},
-                                                     lats_o)
+                                                     sg(lats_o))
                 l_lg = self.cri_gan(fake_lat_pred, True, is_disc=False)
                 aux["l_latent_g"] = l_lg
                 total += l_lg
@@ -714,18 +734,22 @@ class OODFaceGANModel:
             else:
                 out = self._forward(pg, x, rng_g, mod_size, stage)
                 fake = out["image"]
+            # reference semantics: adversarial G terms on detached outputs
+            # (see g_gan_live_grad note in __init__)
+            sg = (lambda t: t) if self.g_gan_live_grad \
+                else jax.lax.stop_gradient
             if do_g_gan:
                 d_apply = lambda f: self.net_d.apply(
                     {"params": state.params_d}, f)[0]
-                if self.use_remat:
+                if self.use_remat and self.g_gan_live_grad:
                     d_apply = jax.checkpoint(d_apply)
-                fake_pred = d_apply(fake)
+                fake_pred = d_apply(sg(fake))
                 l_g = self.cri_gan(fake_pred, True, is_disc=False)
                 aux["l_g"] = l_g
                 total += l_g
             if do_lat_gan:
                 fake_lat_pred, _ = self.net_d2.apply(
-                    {"params": state.params_d2}, out["lats"])
+                    {"params": state.params_d2}, sg(out["lats"]))
                 l_lg = self.cri_gan(fake_lat_pred, True, is_disc=False)
                 aux["l_latent_g"] = l_lg
                 total += l_lg

@@ -266,3 +266,67 @@ def test_model_train_step_mimo_k2():
     new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(2), 0)
     assert "l_id_target" in logs and np.isfinite(float(logs["l_id_target"]))
     assert int(new_state.step) == 1
+
+
+def _adv_only_opt(live):
+    """G trains on adversarial terms ONLY (no pix/mask/id)."""
+    opt = micro_opt()
+    t = opt["train"]
+    t.pop("pix_opt"), t.pop("mask_opt")
+    t["skip_latent_g"] = False
+    t["g_gan_live_grad"] = live
+    return opt
+
+
+def test_g_adversarial_terms_are_gradient_dead_by_default():
+    """Reference semantics (OOD_faceGAN_model.py:491,494): the G-phase
+    adversarial losses score the DETACHED fake/latents, so with only gan_opt
+    configured the G update must be a no-op (loss values still logged),
+    while D and latent-D still train. Step 1 (not 0): 0 %% reg_every == 0
+    fires the path-reg variant, whose gradient into G is real."""
+    model = build_model(_adv_only_opt(live=False))
+    state = model.init_state(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    before = jax.tree_util.tree_map(np.asarray, state.params_g_train)
+    before_d = jax.tree_util.tree_map(np.asarray, state.params_d)
+    new_state, logs = model.train_step(
+        state, make_batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(2), 1)
+    for key in ("l_g", "l_latent_g", "l_total"):
+        assert key in logs and np.isfinite(float(logs[key])), key
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_g_train, before)
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+    deltas_d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_d, before_d)
+    assert max(jax.tree_util.tree_leaves(deltas_d)) > 0
+
+
+def test_g_gan_live_grad_optin_moves_g():
+    model = build_model(_adv_only_opt(live=True))
+    state = model.init_state(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    before = jax.tree_util.tree_map(np.asarray, state.params_g_train)
+    new_state, _ = model.train_step(
+        state, make_batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(2), 1)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        new_state.params_g_train, before)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
+
+
+def test_latent_d_trains_at_optim_d_lr():
+    """Reference param-group quirk (OOD_faceGAN_model.py:389): the latent-D
+    group is built with optim_d's lr, so optim_d2.lr must have no effect on
+    the update."""
+    outs = []
+    for d2_lr in (2e-6, 1e-12):
+        opt = micro_opt()
+        opt["train"]["skip_latent_g"] = False
+        opt["train"]["optim_d2"] = {"type": "Adam", "lr": d2_lr}
+        model = build_model(opt)
+        state = model.init_state(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        new_state, _ = model.train_step(
+            state, make_batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(2),
+            0)
+        outs.append(jax.tree_util.tree_map(np.asarray, new_state.params_d2))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, outs[0], outs[1])
