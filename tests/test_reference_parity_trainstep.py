@@ -300,3 +300,92 @@ def test_trainstep_losses_golden(golden, current_iter, extra_keys):
                     f"reference {ref}")
     # skip_latent_g: neither side runs the latent-D phase
     assert "l_latent_d" not in ref_logs and "l_latent_d" not in logs
+
+
+def test_trainstep_latent_phase_golden(golden):
+    """skip_latent_g OFF: the latent-D update (style-MLP latents from random
+    z vs detached encoder latents) and the G-phase l_latent_g, with the z
+    draw pinned to the same values on both sides (the only nondeterminism
+    the zero-noise protocol doesn't cover)."""
+    z_fixed = np.random.RandomState(40).randn(B * K, 512).astype(np.float32)
+
+    # ---- reference: fresh model with the latent phase on, torch.randn
+    # pinned for the (B*K, 512) style draw (random_gen, arch L196) ----
+    opt = _ref_opt()
+    opt["train"]["skip_latent_g"] = False
+    torch.manual_seed(1)
+    ref_model = golden["mod"].ood_faceGAN_Model(opt)
+    g = ref_model.get_bare_model(ref_model.net_g)
+    g.delta_latent = torch.nn.Parameter(
+        torch.zeros(1, g.style_cnt, 512), requires_grad=False)
+    ref_model.net_g_ema.delta_latent = torch.nn.Parameter(
+        torch.zeros(1, g.style_cnt, 512), requires_grad=False)
+    g.load_state_dict(golden["sd_g"])
+    ref_model.net_d.load_state_dict(golden["sd_d"])
+    ref_model.net_d2.load_state_dict(golden["sd_d2"])
+    x = golden["x"]
+    t5 = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 1, 4, 2, 3)))
+    ref_model.feed_data({"gt": t5, "lr": t5.clone(),
+                         "lq_size": torch.ones(B, K),
+                         "deg_type": torch.zeros(B, K)})
+
+    orig_randn = torch.randn
+
+    def pinned_randn(*size, **kw):
+        shape = tuple(size[0]) if len(size) == 1 and isinstance(
+            size[0], (tuple, list)) else tuple(size)
+        if shape == (B * K, 512):
+            return torch.from_numpy(z_fixed.copy())
+        return orig_randn(*size, **kw)
+
+    torch.randn = pinned_randn
+    try:
+        with zero_noise_injection():
+            ref_model.optimize_parameters(1)
+    finally:
+        torch.randn = orig_randn
+    ref_logs = dict(ref_model.log_dict)
+
+    # ---- ours: fresh model with the latent phase on, same converted
+    # params, jax.random.normal pinned for the same draw ----
+    from ood_gan_inversion_tpu.models import build_model
+    opt_j = _our_opt()
+    opt_j["train"]["skip_latent_g"] = False
+    model_j = build_model(opt_j)
+    _, jl = zero_noise_lists(SIZE, batch=B * K)
+    model_j._forward = lambda pg, xx, rng, mod_size, stage: \
+        model_j.net_g.apply({"params": pg}, xx, mod_size=mod_size,
+                            stage=stage, noise=jl)
+    base = golden["state"]
+    state = model_j.init_state(jax.random.PRNGKey(0), (B * K, SIZE, SIZE, 3))
+    state = state.replace(
+        params_g_train=jax.tree_util.tree_map(jnp.array, base.params_g_train),
+        params_g_frozen=jax.tree_util.tree_map(jnp.array,
+                                               base.params_g_frozen),
+        ema_train=jax.tree_util.tree_map(jnp.array, base.ema_train),
+        params_d=jax.tree_util.tree_map(jnp.array, base.params_d),
+        params_d2=jax.tree_util.tree_map(jnp.array, base.params_d2))
+
+    orig_normal = jax.random.normal
+
+    def pinned_normal(key, shape=(), *a, **kw):
+        if tuple(shape) == (B * K, 512):
+            return jnp.asarray(z_fixed)
+        return orig_normal(key, shape, *a, **kw)
+
+    jax.random.normal = pinned_normal
+    try:
+        _, logs = model_j.train_step(state, golden["batch_j"],
+                                     jax.random.PRNGKey(3), 1)
+    finally:
+        jax.random.normal = orig_normal
+
+    for key in ("l_d", "l_latent_d", "real_latent_score",
+                "fake_latent_score", "l_g", "l_latent_g", "l_pix", "l_bin",
+                "l_area"):
+        assert key in ref_logs, f"reference did not log {key}"
+        assert key in logs, f"we did not log {key}"
+        ours, ref = float(logs[key]), float(ref_logs[key])
+        np.testing.assert_allclose(
+            ours, ref, rtol=0.02, atol=5e-3,
+            err_msg=f"latent-phase loss {key}: ours {ours} vs ref {ref}")
