@@ -103,9 +103,14 @@ def _load_reference_model_module():
 
     sys.modules["basicsr.archs"].build_network = build_network
     sys.modules["basicsr.losses"].build_loss = build_loss
-    if "basicsr.metrics" not in sys.modules:
-        _module("basicsr.metrics", calculate_metric=lambda *a, **k: None)
-        bs.metrics = sys.modules["basicsr.metrics"]
+    # other parity modules may have created basicsr.metrics as an empty
+    # package placeholder (load_real_basicsr parent stubs) — ensure the attr
+    metrics_mod = sys.modules.get("basicsr.metrics")
+    if metrics_mod is None:
+        metrics_mod = _module("basicsr.metrics")
+    if not hasattr(metrics_mod, "calculate_metric"):
+        metrics_mod.calculate_metric = lambda *a, **k: None
+    bs.metrics = metrics_mod
 
     load_real_basicsr("basicsr.models.stylegan2_model")
     return load_reference_module("src.models.OOD_faceGAN_model")
