@@ -9,6 +9,7 @@ from .perceptual import PerceptualLoss
 from .id_loss import IDLoss
 from .extra import (WeightedTVLoss, MultiScaleGANLoss, GANFeatLoss,
                     gradient_penalty_loss)
+from .lpips_loss import LPIPS_Loss
 
 
 def build_loss(opt: dict):

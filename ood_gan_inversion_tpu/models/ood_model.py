@@ -425,6 +425,26 @@ class OODFaceGANModel:
         return self.net_g.apply({"params": params_g}, x, mod_size=mod_size,
                                 stage=stage, rngs={"noise": rng})
 
+    # encode/decode halves of the forward, used by the path-reg phase (which
+    # needs a lats-vjp across the decode). Instance hooks like _forward so
+    # golden tests can pin the noise draws.
+    def _encode(self, params_g, x, stage):
+        net_t = type(self.net_g)
+        return self.net_g.apply({"params": params_g}, x, stage=stage,
+                                method=net_t.encode)
+
+    def _decode_samm(self, params_g, lats, feats_c, x, rng, mod_size):
+        net_t = type(self.net_g)
+        return self.net_g.apply({"params": params_g}, lats, feats_c, x,
+                                mod_size, method=net_t.decode_samm,
+                                rngs={"noise": rng})
+
+    def _path_cot(self, rng, shape, dtype):
+        # the reference's randn_like(fake)/sqrt(h*w) cotangent
+        # (g_path_regularize, losses.py:409)
+        hw = shape[1] * shape[2]
+        return jax.random.normal(rng, shape, dtype) / jnp.sqrt(float(hw))
+
     # ------------------------------------------------------------------
     # The D / latent-D / G updates are THREE separately-jitted programs
     # chained by the host wrapper (mirroring the reference's three backward
@@ -708,20 +728,14 @@ class OODFaceGANModel:
             if do_path_reg:
                 # path-length regularization (reference L761-777 +
                 # g_path_regularize): vjp of the decode w.r.t. the W+ latents
-                net_t = type(self.net_g)
-                lats, feats_c = self.net_g.apply(
-                    {"params": pg}, x, stage=stage, method=net_t.encode)
+                lats, feats_c = self._encode(pg, x, stage)
 
                 def dec_full(l):
-                    o = self.net_g.apply({"params": pg}, l, feats_c, x,
-                                         mod_size, method=net_t.decode_samm,
-                                         rngs={"noise": rng_g})
+                    o = self._decode_samm(pg, l, feats_c, x, rng_g, mod_size)
                     return o["image"], o
 
                 fake, vjp_fn, out = jax.vjp(dec_full, lats, has_aux=True)
-                hw = fake.shape[1] * fake.shape[2]
-                cot = jax.random.normal(rng_path, fake.shape,
-                                        fake.dtype) / jnp.sqrt(float(hw))
+                cot = self._path_cot(rng_path, fake.shape, fake.dtype)
                 grad_lats = vjp_fn(cot)[0]
                 from ..losses.gan_loss import path_regularize_stats
                 l_path, path_len, new_mpl = path_regularize_stats(

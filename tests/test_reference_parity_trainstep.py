@@ -394,3 +394,96 @@ def test_trainstep_latent_phase_golden(golden):
         np.testing.assert_allclose(
             ours, ref, rtol=0.02, atol=5e-3,
             err_msg=f"latent-phase loss {key}: ours {ours} vs ref {ref}")
+
+
+def test_trainstep_path_reg_phase_golden(golden):
+    """net_g_reg_every ON (the shipped configs disable it, but the code path
+    exists: OOD_faceGAN_model.py:761-777 + g_path_regularize, losses.py:
+    408-418): the path-length penalty, its logged path_length, and the
+    mean_path_length running-state update, with the randn_like cotangent
+    draw pinned to the same values on both sides."""
+    cot_fixed = (np.random.RandomState(50)
+                 .randn(B * K, SIZE, SIZE, 3).astype(np.float32))
+
+    # ---- reference: fresh model with path reg firing at iter 3 (3 % 3 == 0
+    # while D-r1 stays off, 3 % 2 != 0), torch.randn_like pinned ----
+    opt = _ref_opt()
+    opt["train"]["net_g_reg_every"] = 3
+    torch.manual_seed(1)
+    ref_model = golden["mod"].ood_faceGAN_Model(opt)
+    g = ref_model.get_bare_model(ref_model.net_g)
+    g.delta_latent = torch.nn.Parameter(
+        torch.zeros(1, g.style_cnt, 512), requires_grad=False)
+    ref_model.net_g_ema.delta_latent = torch.nn.Parameter(
+        torch.zeros(1, g.style_cnt, 512), requires_grad=False)
+    g.load_state_dict(golden["sd_g"])
+    ref_model.net_d.load_state_dict(golden["sd_d"])
+    ref_model.net_d2.load_state_dict(golden["sd_d2"])
+    x = golden["x"]
+    t5 = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 1, 4, 2, 3)))
+    ref_model.feed_data({"gt": t5, "lr": t5.clone(),
+                         "lq_size": torch.ones(B, K),
+                         "deg_type": torch.zeros(B, K)})
+
+    cot_t = torch.from_numpy(
+        np.ascontiguousarray(cot_fixed.transpose(0, 3, 1, 2)))
+    orig_randn_like = torch.randn_like
+
+    def pinned_randn_like(t, **kw):
+        if tuple(t.shape) == (B * K, 3, SIZE, SIZE):
+            return cot_t.clone()
+        return orig_randn_like(t, **kw)
+
+    torch.randn_like = pinned_randn_like
+    try:
+        with zero_noise_injection():
+            ref_model.optimize_parameters(3)
+    finally:
+        torch.randn_like = orig_randn_like
+    ref_logs = dict(ref_model.log_dict)
+    ref_mpl = float(ref_model.mean_path_length)
+    assert "l_g_path" in ref_logs, "reference path reg did not fire"
+
+    # ---- ours: fresh model, same converted params, the decode's noise
+    # zeroed through the _decode_samm hook and the cotangent pinned through
+    # the _path_cot hook ----
+    from ood_gan_inversion_tpu.models import build_model
+    opt_j = _our_opt()
+    opt_j["train"]["net_g_reg_every"] = 3
+    model_j = build_model(opt_j)
+    _, jl = zero_noise_lists(SIZE, batch=B * K)
+    model_j._forward = lambda pg, xx, rng, mod_size, stage: \
+        model_j.net_g.apply({"params": pg}, xx, mod_size=mod_size,
+                            stage=stage, noise=jl)
+    net_t = type(model_j.net_g)
+    model_j._decode_samm = lambda pg, lats, feats_c, xx, rng, mod_size: \
+        model_j.net_g.apply({"params": pg}, lats, feats_c, xx, mod_size,
+                            method=net_t.decode_samm, noise=jl)
+    hw = float(SIZE * SIZE)
+    model_j._path_cot = lambda rng, shape, dtype: \
+        jnp.asarray(cot_fixed, dtype) / jnp.sqrt(hw)
+
+    base = golden["state"]
+    state = model_j.init_state(jax.random.PRNGKey(0), (B * K, SIZE, SIZE, 3))
+    state = state.replace(
+        params_g_train=jax.tree_util.tree_map(jnp.array, base.params_g_train),
+        params_g_frozen=jax.tree_util.tree_map(jnp.array,
+                                               base.params_g_frozen),
+        ema_train=jax.tree_util.tree_map(jnp.array, base.ema_train),
+        params_d=jax.tree_util.tree_map(jnp.array, base.params_d),
+        params_d2=jax.tree_util.tree_map(jnp.array, base.params_d2))
+
+    new_state, logs = model_j.train_step(state, golden["batch_j"],
+                                         jax.random.PRNGKey(3), 3)
+
+    for key in ("l_d", "real_score", "fake_score", "l_g", "l_pix", "l_bin",
+                "l_area", "l_g_path", "path_length"):
+        assert key in ref_logs, f"reference did not log {key}"
+        assert key in logs, f"we did not log {key}"
+        ours, ref = float(logs[key]), float(ref_logs[key])
+        np.testing.assert_allclose(
+            ours, ref, rtol=0.02, atol=5e-3,
+            err_msg=f"path-phase loss {key}: ours {ours} vs ref {ref}")
+    np.testing.assert_allclose(
+        float(new_state.mean_path_length), ref_mpl, rtol=0.02, atol=1e-5,
+        err_msg="mean_path_length running state diverged")
