@@ -100,12 +100,28 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 
 # Gather-free MXU warp (ops/pallas_warp.py) for SAMM scales >= MIN px —
 # XLA's gather is batch-flat at ~4.3 ms/img per 256px warp (PERF.md r2).
-_MXU_WARP = os.environ.get("OGI_MXU_WARP", "0") == "1"
+# End-to-end A/B (prof_mxu_warp_ab.py): LOSES at b=1 (custom-call fusion
+# barrier, 32.7 vs 26.6 ms/img), WINS from b=2 (37.3 vs 39.4) and b=4
+# (36.6 vs 43.8). "auto" (default) therefore enables it on TPU backends
+# only when the traced batch >= OGI_MXU_WARP_BATCH; "1"/"0" force on/off.
+_MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
+_MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
 # Pure-XLA banded-matmul warp (ops/matmul_warp.py): same gather bypass with
 # no custom-call barrier, at the price of materializing the row bands in
 # HBM. Loses precedence to OGI_MXU_WARP when both are set.
 _XLA_WARP = os.environ.get("OGI_XLA_WARP", "0") == "1"
+
+
+def use_mxu_warp(batch: int) -> bool:
+    """Batch-gated MXU-warp policy ("auto": on for TPU backends from
+    OGI_MXU_WARP_BATCH per the A/B table above; True/"1" force, else off).
+    """
+    flag = _MXU_WARP
+    if flag is True or flag == "1":
+        return True
+    return (flag == "auto" and batch >= _MXU_WARP_BATCH
+            and jax.default_backend() != "cpu")
 
 
 class _XavierBottleneckIR(nn.Module):
@@ -249,8 +265,9 @@ class SPMWarp(nn.Module):
             dx, dy, alpha = accum[..., 0], accum[..., 1], accum[..., 2:3]
             grid = jnp.stack([base_x[None] + dx, base_y[None] + dy], axis=-1)
             p = max_disp_px(self.scale, w)
-            if (_MXU_WARP and h >= _MXU_WARP_MIN
-                    and mxu_warp_supported(h, w, target.shape[-1], p)):
+            if (use_mxu_warp(target.shape[0]) and h >= _MXU_WARP_MIN
+                    and mxu_warp_supported(h, w, target.shape[-1], p,
+                                           jnp.dtype(target.dtype).itemsize)):
                 aligned_target = mxu_warp_blend(target, grid, alpha, p)
             elif _XLA_WARP and h >= _MXU_WARP_MIN:
                 aligned_target = xla_warp_blend(target, grid, alpha, p)

@@ -36,7 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import grid_sample_bilinear
 
-BAND = 8  # output rows per grid step
+BAND = 8  # output rows per grid step. Fixed at 8: the fp32 grid/alpha
+# blocks are (band, w)-shaped and Pallas requires the sublane dim divisible
+# by 8, so smaller bands do not lower; larger ones were never needed (the
+# 256px scale fits scoped VMEM at band=8 for every batch probed — see
+# tools/prof/probe_warp_vmem.py).
 
 
 def _round_up(v, m):
@@ -95,9 +99,17 @@ def _warp_kernel(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
         o_ref[0, r] = (out * al + tgt * (1.0 - al)).astype(o_ref.dtype)
 
 
-def mxu_warp_supported(h: int, w: int, c: int, p: int) -> bool:
+def mxu_warp_supported(h: int, w: int, c: int, p: int,
+                       itemsize: int = 4) -> bool:
+    """Shape + scoped-VMEM feasibility. The VMEM rule is probed, not
+    modeled (tools/prof/probe_warp_vmem.py): at band=8 the per-row slide
+    window minor dim (band+2p)*c decides fit — (h=256,c=128,p=12) = 16 KB/
+    row compiles at every batch, (h=128,c=256,p=7) = 22.5 KB/row blows the
+    16 MB scoped-VMEM limit (19.03M) even standalone. bf16 features halve
+    the row and re-enable the denser-channel scales."""
     return (h == w and h % BAND == 0 and c % 128 == 0
-            and h + 2 * p <= 4096)
+            and h + 2 * p <= 4096
+            and (BAND + 2 * p) * c * itemsize <= 16384)
 
 
 def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):

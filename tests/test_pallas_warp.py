@@ -81,3 +81,29 @@ def test_gradients_match_reference():
     for a, bb in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_rule_matches_probe():
+    # Probed on the real compiler (tools/prof/probe_warp_vmem.py): the
+    # 256px/c=128 SAMM scale fits scoped VMEM at every batch, the
+    # 128px/c=256 scale blows the 16 MB limit (19.03M) even at b=4 in
+    # fp32 — and fits again with bf16 features (half the row window).
+    assert pw.mxu_warp_supported(256, 256, 128, pw.max_disp_px(0.08, 256), 4)
+    assert not pw.mxu_warp_supported(128, 128, 256,
+                                     pw.max_disp_px(0.08, 128), 4)
+    assert pw.mxu_warp_supported(128, 128, 256, pw.max_disp_px(0.08, 128), 2)
+
+
+def test_auto_policy_batch_and_backend_gated(monkeypatch):
+    from ood_gan_inversion_tpu.nn import samm
+    monkeypatch.setattr(samm, "_MXU_WARP", "auto")
+    monkeypatch.setattr(samm, "_MXU_WARP_BATCH", 2)
+    # CPU backend (the test suite's forced backend): auto must stay off so
+    # tests and dryrun_multichip never lower a TPU Pallas call on CPU.
+    assert jax.default_backend() == "cpu"
+    assert not samm.use_mxu_warp(8)
+    # forced-on (the prof scripts' monkeypatch) wins over the backend gate
+    monkeypatch.setattr(samm, "_MXU_WARP", True)
+    assert samm.use_mxu_warp(1)
+    monkeypatch.setattr(samm, "_MXU_WARP", False)
+    assert not samm.use_mxu_warp(8)
