@@ -41,6 +41,9 @@ class OODFaceGANE4E(nn.Module):
     channel_multiplier: int = 2
     narrow: float = 1.0
     encoder: str = "E4E"
+    # trunk depth of the IR-SE encoder; 50 is the reference's net, 4 is a
+    # shape-identical minimal trunk for smoke/dryrun configs (nn/irse.py)
+    encoder_num_layers: int = 50
     enable_modulation: bool = True
     modulation_type: str = "NOISE"
     warp_scale: float = 0.02
@@ -56,7 +59,8 @@ class OODFaceGANE4E(nn.Module):
     def setup(self):
         self.style_cnt = int(math.log2(self.out_size)) * 2 - 2
         channels = STYLEGAN2_CHANNELS(self.channel_multiplier, self.narrow)
-        self.enc = Encoder4Editing(num_layers=50, mode="ir_se",
+        self.enc = Encoder4Editing(num_layers=self.encoder_num_layers,
+                                   mode="ir_se",
                                    stylegan_size=self.out_size, bn=True,
                                    name="encoder")
         if self.enable_modulation:

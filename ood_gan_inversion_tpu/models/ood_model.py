@@ -87,6 +87,17 @@ def validate_train_opt(train_opt: dict):
 # --------------------------------------------------------------------------
 # param partitioning (fix_and_grad)
 
+def _abstract_fill(leaf):
+    """Deterministic cheap fill for an eval_shape'd param leaf: small
+    POSITIVE values so stored-variance-like params (BatchNorm2dEval.var)
+    stay rsqrt-safe. Statistics are meaningless by design."""
+    n = max(1, int(np.prod(leaf.shape)))
+    if jnp.issubdtype(leaf.dtype, jnp.integer):
+        return jnp.zeros(leaf.shape, leaf.dtype)
+    vals = np.linspace(0.01, 0.1, n, dtype=np.float32).reshape(leaf.shape)
+    return jnp.asarray(vals, leaf.dtype)
+
+
 def _match(key: str, needles) -> bool:
     return any(n in key for n in needles)
 
@@ -359,12 +370,24 @@ class OODFaceGANModel:
         self.tx_d2 = lambda: d_adam(od.get("lr", 2e-5), od2)
 
     # ------------------------------------------------------------------
-    def init_state(self, rng, sample_shape) -> TrainState:
+    def init_state(self, rng, sample_shape, abstract: bool = False
+                   ) -> TrainState:
         """Initialize all parameters and optimizer states.
 
         Runs on the CPU backend when available: on this TPU stack a remote
         compile of the giant init program costs minutes, while CPU init is
-        seconds; the train step then transfers the pytree once."""
+        seconds; the train step then transfers the pytree once.
+
+        abstract=True skips running the init programs entirely: parameter
+        SHAPES come from jax.eval_shape and the values are a cheap positive
+        deterministic fill. Correct-by-construction shapes, garbage
+        statistics — for plumbing/sharding dryruns only (where flax-init
+        of the full nets costs minutes of single-core compute)."""
+        if abstract:
+            shapes = jax.eval_shape(
+                lambda r: self._init_net_params(r, sample_shape), rng)
+            nets = jax.tree_util.tree_map(_abstract_fill, shapes)
+            return self._state_from_net_params(nets)
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
@@ -375,6 +398,10 @@ class OODFaceGANModel:
         return self._init_state_impl(rng, sample_shape)
 
     def _init_state_impl(self, rng, sample_shape) -> TrainState:
+        return self._state_from_net_params(
+            self._init_net_params(rng, sample_shape))
+
+    def _init_net_params(self, rng, sample_shape):
         k_g, k_d, k_d2, k_vgg, k_id, k_noise = jax.random.split(rng, 6)
         x = jnp.zeros(sample_shape, jnp.float32)
         mod = max(self.progressive_mod_size) if self.progressive_mod_size else 0
@@ -385,8 +412,6 @@ class OODFaceGANModel:
         vars_mlp = self.net_g.init(
             {"params": k_g}, z, method=type(self.net_g).random_latents)
         params_g = merge_params(vars_mlp["params"], vars_g["params"])
-
-        train_g, frozen_g = split_params(params_g, self.fix_list, self.grad_list)
 
         params_d = self.net_d.init(k_d, x)["params"] if self.net_d else {}
         lats = jnp.zeros((1, self.style_cnt, self.net_g.style_dim))
@@ -399,7 +424,14 @@ class OODFaceGANModel:
                 k_vgg, (1,) + sample_shape[1:])
         if self.cri_id is not None:
             loss_net_params["id"] = self.cri_id.init(k_id)
+        return {"g": params_g, "d": params_d, "d2": params_d2,
+                "loss": loss_net_params}
 
+    def _state_from_net_params(self, nets) -> TrainState:
+        params_g, params_d, params_d2 = nets["g"], nets["d"], nets["d2"]
+        loss_net_params = nets["loss"]
+        train_g, frozen_g = split_params(params_g, self.fix_list,
+                                         self.grad_list)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params_g_train=train_g,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..layers import Conv2dTorch, EqualLinear
-from ..irse import IRSETrunk
+from ..irse import IRSETrunk, trunk_taps
 from ...ops.resize import resize_bicubic_ac
 
 PROGRESSIVE_INFERENCE = 18  # ProgressiveStage.Inference (psp_encoders.py:32)
@@ -68,7 +68,7 @@ class Encoder4Editing(nn.Module):
         self.channels = [64, 64, 128, 256, 512]
 
     def __call__(self, x, stage: int = PROGRESSIVE_INFERENCE):
-        _, feats = self.trunk(x, taps=(2, 6, 20, 23))
+        _, feats = self.trunk(x, taps=trunk_taps(self.num_layers))
         # feats: [input 256px/64, 128px/64, 64px/128, 32px/256, 16px/512]
         c1, c2, c3 = feats[2], feats[3], feats[4]
 
@@ -116,7 +116,7 @@ class GradualStyleEncoder(nn.Module):
         self.latlayer2 = Conv2dTorch(512, 1, 1, 0)
 
     def __call__(self, x):
-        _, feats = self.trunk(x, taps=(6, 20, 23))
+        _, feats = self.trunk(x, taps=trunk_taps(self.num_layers)[1:])
         c1, c2, c3 = feats[1], feats[2], feats[3]
         latents = [self.styles[j](c3) for j in range(self.coarse_ind)]
         p2 = _upsample_add(c3, self.latlayer1(c2))

@@ -10,7 +10,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..irse import IRSETrunk
+from ..irse import IRSETrunk, trunk_taps
 from .e4e import GradualStyleBlock, PROGRESSIVE_INFERENCE
 
 
@@ -29,7 +29,7 @@ class ProgressiveBackboneEncoder(nn.Module):
         self.channels = [64, 64, 128, 256, 512]
 
     def __call__(self, x, stage: int = PROGRESSIVE_INFERENCE):
-        final, feats = self.trunk(x, taps=(2, 6, 20, 23))
+        final, feats = self.trunk(x, taps=trunk_taps(self.num_layers))
         w0 = self.styles[0](final)
         deltas = [jnp.zeros_like(w0)]
         for i in range(1, min(stage + 1, self.n_styles)):

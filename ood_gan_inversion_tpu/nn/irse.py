@@ -34,7 +34,23 @@ def get_blocks(num_layers):
     if num_layers == 152:
         return [get_block(64, 64, 3), get_block(64, 128, 8),
                 get_block(128, 256, 36), get_block(256, 512, 3)]
-    raise ValueError(f"num_layers must be 50/100/152, got {num_layers}")
+    if num_layers == 4:
+        # minimal smoke/dryrun trunk: one bottleneck per stage, same
+        # stage channels/strides (= same tap shapes) as the real nets
+        return [get_block(64, 64, 1), get_block(64, 128, 1),
+                get_block(128, 256, 1), get_block(256, 512, 1)]
+    raise ValueError(f"num_layers must be 4/50/100/152, got {num_layers}")
+
+
+def trunk_taps(num_layers):
+    """Indices of the last unit of each stage — the E4E/pSp feature taps
+    (psp_encoders.py:178-196 hardcodes (2, 6, 20, 23) for ir-50; this is
+    that rule generalized to any depth)."""
+    idx, taps = -1, []
+    for block in get_blocks(num_layers):
+        idx += len(block)
+        taps.append(idx)
+    return tuple(taps)
 
 
 class _Norm(nn.Module):

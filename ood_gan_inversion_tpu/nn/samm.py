@@ -100,10 +100,17 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 
 # Gather-free MXU warp (ops/pallas_warp.py) for SAMM scales >= MIN px —
 # XLA's gather is batch-flat at ~4.3 ms/img per 256px warp (PERF.md r2).
-# End-to-end A/B (prof_mxu_warp_ab.py): LOSES at b=1 (custom-call fusion
-# barrier, 32.7 vs 26.6 ms/img), WINS from b=2 (37.3 vs 39.4) and b=4
-# (36.6 vs 43.8). "auto" (default) therefore enables it on TPU backends
+# End-to-end A/B on the real chip (prof_mxu_warp_ab.py, PERF.md r3):
+# LOSES at b=1 (custom-call fusion barrier, 32.7 vs 26.6 ms/img), WINS at
+# b=2 (37.3 vs 39.4), b=4 (2 of 3 runs: 36.6/39.6 vs 43.8/44.0) and b=8
+# (21.6 vs 26.0). "auto" (default) therefore enables it on the TPU backend
 # only when the traced batch >= OGI_MXU_WARP_BATCH; "1"/"0" force on/off.
+# NOTE train-path coverage gap (ADVICE r2): under "auto" the forward runs
+# the MXU kernel while its custom_vjp backward recomputes the XLA reference
+# formulation, so training gradients are for a numerically-close but not
+# bit-identical function; the CPU golden train-step parity can't see this
+# because the backend gate turns the kernel off on CPU. Verified instead by
+# tests/test_pallas_warp.py gradient checks (fwd/bwd consistency on TPU).
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
 _MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
@@ -120,8 +127,10 @@ def use_mxu_warp(batch: int) -> bool:
     flag = _MXU_WARP
     if flag is True or flag == "1":
         return True
+    # explicit TPU-platform check (ADVICE r2): the kernel is Mosaic-TPU-only;
+    # "!= cpu" would have selected it on a hypothetical gpu backend too
     return (flag == "auto" and batch >= _MXU_WARP_BATCH
-            and jax.default_backend() != "cpu")
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 class _XavierBottleneckIR(nn.Module):

@@ -1,9 +1,11 @@
 """Compile-probe the MXU warp kernel's scoped-VMEM fit across (batch, scale,
-band): Mosaic's multi-buffering depth grows with grid size, so the same
-block shapes that fit at b<=4 blew the 16 MB scoped-VMEM limit at b=8
-(PERF.md round 2, f32[8,128,128,256] alignment call, 19.03M). AOT-compiles
-each config standalone and reports fit/OOM so the band policy in
-ops/pallas_warp.py is calibrated by measurement, not modeling."""
+band). Measured result (this probe, b in {4,8,16}, band 8; PERF.md r3):
+fit is BATCH-INDEPENDENT — (h=256,c=128,p=12) compiles OK at every batch,
+(h=128,c=256,p=7) blows the 16 MB scoped-VMEM limit (19.03M alloc for the
+f32 out block) at every batch; bands 4/2 fail Mosaic lowering outright.
+AOT-compiles each config standalone and reports fit/OOM so the feasibility
+rule in ops/pallas_warp.py:mxu_warp_supported is calibrated by measurement,
+not modeling."""
 import os, sys
 sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
 os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
@@ -12,7 +14,9 @@ import jax, jax.numpy as jnp
 from ood_gan_inversion_tpu.ops import pallas_warp as pw
 from ood_gan_inversion_tpu.ops.pallas_warp import max_disp_px
 
-tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+assert jax.default_backend() != "cpu", (
+    "probe must compile for the TPU backend (got cpu) — run with the axon "
+    "tunnel up; JAX_PLATFORMS=axon,cpu makes jit target the TPU by default")
 
 CFGS = []
 for b in (int(v) for v in os.environ.get("B", "8,16").split(",")):
