@@ -41,9 +41,36 @@ class LmdbBackend:
             return txn.get(key.encode("ascii"))
 
 
+class MemcachedBackend:
+    """Memcached-backed storage (reference file_client.py:22-56): keys are
+    file paths served by a pre-loaded memcached cluster. The `mc` client
+    library is cluster-infrastructure-specific and not installable here, so
+    the backend is a lazy-import gate (exactly the reference's behavior when
+    `import mc` fails); no shipped config uses it."""
+
+    def __init__(self, server_list_cfg, client_cfg, sys_path=None):
+        if sys_path is not None:
+            import sys
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError:
+            raise ImportError(
+                "memcached backend needs the `mc` client library "
+                "(reference file_client.py:36-39)")
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
+                                                      client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath):
+        import mc
+        self._client.Get(filepath, self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
+
+
 class FileClient:
     BACKENDS = {"disk": DiskBackend, "packed": PackedBackend,
-                "lmdb": LmdbBackend}
+                "lmdb": LmdbBackend, "memcached": MemcachedBackend}
 
     def __init__(self, backend="disk", **kwargs):
         if backend not in self.BACKENDS:

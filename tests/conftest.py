@@ -21,3 +21,51 @@ import jax  # noqa: E402
 # The image's sitecustomize force-registers the TPU backend regardless of
 # JAX_PLATFORMS in the environment; override at the config level.
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Test tiers (round 3): the golden reference-parity tests import and RUN the
+# actual /root/reference torch code — thorough but slow (the full suite is
+# ~1.6 h on this 1-core host). Default runs skip them so the routine tier
+# stays fast enough to run on every change; `--golden` (or OGI_TEST_ALL=1)
+# runs everything. CLAUDE.md documents both tiers.
+
+import pytest
+
+GOLDEN_FILES = (
+    "test_reference_parity",   # every test_reference_parity*.py module
+    "test_lpips_oracle",       # torch LPIPS oracle
+    "test_converter",          # torch state_dict converters
+)
+SLOW_FILES = (
+    "test_train_model",        # multi-phase train steps at several configs
+    "test_pipeline",           # end-to-end train/resume/val pipelines
+)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--golden", action="store_true", default=False,
+                     help="also run the golden reference-parity tier "
+                          "(runs the actual torch reference; slow)")
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run the slow end-to-end tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_all = (config.getoption("--golden") and config.getoption("--slow")) \
+        or os.environ.get("OGI_TEST_ALL") == "1"
+    if run_all:
+        return
+    skip_golden = pytest.mark.skip(
+        reason="golden tier: pass --golden (or OGI_TEST_ALL=1)")
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: pass --slow (or OGI_TEST_ALL=1)")
+    for item in items:
+        fname = item.fspath.basename
+        if any(fname.startswith(g) for g in GOLDEN_FILES):
+            item.add_marker(pytest.mark.golden)
+            if not config.getoption("--golden"):
+                item.add_marker(skip_golden)
+        elif any(fname.startswith(s) for s in SLOW_FILES):
+            item.add_marker(pytest.mark.slow)
+            if not config.getoption("--slow"):
+                item.add_marker(skip_slow)

@@ -85,3 +85,12 @@ def test_packed_file_client_keys(tmp_path):
     fc = FileClient("packed", db_path=pack)
     assert sorted(fc.backend.keys()) == ["0.png", "1.png", "2.png"]
     assert fc.get("1.png") == items[1][1]
+
+def test_memcached_file_client_gate():
+    """The memcached backend mirrors the reference's lazy-import gate
+    (file_client.py:36-39): constructing it without the cluster-specific
+    `mc` library raises an informative ImportError."""
+    import pytest
+    from ood_gan_inversion_tpu.data.file_client import FileClient
+    with pytest.raises(ImportError, match="mc"):
+        FileClient("memcached", server_list_cfg="/none", client_cfg="/none")
