@@ -37,7 +37,7 @@ from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
                                   algebraic_alignnet_body0,
                                   alignnet_body0_supported)
 from ..ops.matmul_warp import xla_warp_blend
-from ..ops.pallas_warp import (mxu_warp_blend, mxu_warp_supported,
+from ..ops.pallas_warp import (warp_blend_platform, mxu_warp_supported,
                                max_disp_px)
 from ..ops.resize import resize_bicubic_ac
 
@@ -111,6 +111,11 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 # bit-identical function; the CPU golden train-step parity can't see this
 # because the backend gate turns the kernel off on CPU. Verified instead by
 # tests/test_pallas_warp.py gradient checks (fwd/bwd consistency on TPU).
+# The dispatch itself is wrapped in lax.platform_dependent
+# (ops/pallas_warp.py:warp_blend_platform): the gate below is a trace-time
+# HINT, and a trace lowered for a different platform than the session
+# default (CPU param init under jax.default_device(cpu), prof tools) falls
+# back to the XLA reference instead of dying in Mosaic's cpu_lowering.
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
 _MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
@@ -277,7 +282,7 @@ class SPMWarp(nn.Module):
             if (use_mxu_warp(target.shape[0]) and h >= _MXU_WARP_MIN
                     and mxu_warp_supported(h, w, target.shape[-1], p,
                                            jnp.dtype(target.dtype).itemsize)):
-                aligned_target = mxu_warp_blend(target, grid, alpha, p)
+                aligned_target = warp_blend_platform(target, grid, alpha, p)
             elif _XLA_WARP and h >= _MXU_WARP_MIN:
                 aligned_target = xla_warp_blend(target, grid, alpha, p)
             else:

@@ -178,3 +178,22 @@ def _bwd(p, res, ct):
 
 
 mxu_warp_blend.defvjp(_fwd, _bwd)
+
+
+def warp_blend_platform(target, grid, alpha, p: int):
+    """Platform-robust dispatch around the Mosaic kernel.
+
+    The trace-time gate (nn/samm.py:use_mxu_warp) checks the session's
+    default backend, but a single trace can be LOWERED for a different
+    platform than the session default — param init runs under
+    jax.default_device(cpu) on an axon session (CLAUDE.md policy), and the
+    prof tools re-trace on whatever backend executes them. Selecting the
+    branch per lowering platform means such traces take the XLA reference
+    path instead of dying in Mosaic's cpu_lowering, while real TPU
+    executions keep the kernel.
+    """
+    return lax.platform_dependent(
+        target, grid, alpha,
+        cpu=lambda t, g, a: warp_blend_reference(t, g, a),
+        default=lambda t, g, a: mxu_warp_blend(t, g, a, p),
+    )

@@ -107,3 +107,40 @@ def test_auto_policy_batch_and_backend_gated(monkeypatch):
     assert samm.use_mxu_warp(1)
     monkeypatch.setattr(samm, "_MXU_WARP", False)
     assert not samm.use_mxu_warp(8)
+
+
+def test_platform_dispatch_cpu_lowering(monkeypatch):
+    """Regression (round 3): a trace whose gate picked the kernel can still
+    be LOWERED for CPU — param init under jax.default_device(cpu) on an
+    axon session, prof tools — and must fall back to the XLA reference via
+    lax.platform_dependent instead of dying in Mosaic's cpu_lowering."""
+    x, grid, alpha = _mk(2, 64, 128, 0.08)
+    p = pw.max_disp_px(0.08, 64)
+    assert jax.default_backend() == "cpu"
+    out = jax.jit(lambda t, g, a: pw.warp_blend_platform(t, g, a, p))(
+        x, grid, alpha)
+    ref = pw.warp_blend_reference(x, grid, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # gradients flow through the platform_dependent branch select
+    g1 = jax.grad(lambda t: pw.warp_blend_platform(t, grid, alpha, p).sum())(x)
+    g2 = jax.grad(lambda t: pw.warp_blend_reference(t, grid, alpha).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_forced_warp_full_samm_on_cpu(monkeypatch):
+    """The exact crash shape from prof_train_decomp (PERF r3): force the
+    gate ON, run a full SPMWarp alignment on the CPU backend — the
+    platform dispatch must take the reference path and execute."""
+    from ood_gan_inversion_tpu.nn import samm
+    monkeypatch.setattr(samm, "_MXU_WARP", True)
+    monkeypatch.setattr(samm, "_MXU_WARP_MIN", 8)
+    mod = samm.SPMWarp(in_ch=16, scale=0.08, cycle_align=2)
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.randn(2, 32, 32, 16), jnp.float32)
+    tgt = jnp.asarray(rs.randn(2, 32, 32, 16), jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), src, tgt)
+    out, align = mod.apply(vs, src, tgt)
+    assert np.isfinite(np.asarray(out)).all()
+    assert align.shape == (2, 32, 32, 3)
