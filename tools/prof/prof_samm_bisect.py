@@ -31,6 +31,7 @@ _orig_btn_call = samm._XavierBottleneckIR.__call__
 _orig_body1 = None
 _orig_blur = samm.fir_blur
 _orig_warp = samm.grid_sample_bilinear
+_orig_wbp = samm.warp_blend_platform
 _orig_upadd = samm.SPMWarp._upsample_add
 
 
@@ -42,6 +43,7 @@ def restore():
     samm._XavierBottleneckIR.__call__ = _orig_btn_call
     samm.fir_blur = _orig_blur
     samm.grid_sample_bilinear = _orig_warp
+    samm.warp_blend_platform = _orig_wbp
     samm.SPMWarp._upsample_add = _orig_upadd
     samm.AlignNet.__call__ = _orig_alignnet_call
     samm.SPMWarp.__call__ = _orig_spm_call
@@ -86,7 +88,10 @@ def apply_variant(name, opt):
     elif name == "noblur":
         samm.fir_blur = lambda x, k, pad: x
     elif name == "nowarp":
+        # both warp formulations: the XLA gather (b=1 default) and the MXU
+        # kernel behind warp_blend_platform (auto-on at batch >= 2 on TPU)
         samm.grid_sample_bilinear = lambda target, grid: target
+        samm.warp_blend_platform = lambda target, grid, alpha, p: target
     elif name == "nomerge":
         samm.SPMWarp._upsample_add = lambda self, coarse, align: align
     elif name == "nonorm":
