@@ -83,6 +83,7 @@ class OODFaceGANE4E(nn.Module):
         self.generator = Generator(size=self.out_size, style_dim=self.style_dim,
                                    n_mlp=self.n_mlp,
                                    channel_multiplier=self.channel_multiplier,
+                                   narrow=self.narrow,
                                    dtype=self.dtype)
         self.avg_latent = self.param("avg_latent", nn.initializers.zeros,
                                      (1, self.style_dim))

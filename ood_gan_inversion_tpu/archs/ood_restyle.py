@@ -68,6 +68,7 @@ class OODFaceGANReStyle(nn.Module):
         self.generator = Generator(size=self.out_size, style_dim=self.style_dim,
                                    n_mlp=self.n_mlp,
                                    channel_multiplier=self.channel_multiplier,
+                                   narrow=self.narrow,
                                    dtype=self.dtype)
         # per-layer average latent (reference restyle arch L66: (18, 512))
         self.avg_latent = self.param("avg_latent", nn.initializers.zeros,

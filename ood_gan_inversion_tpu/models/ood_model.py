@@ -88,13 +88,23 @@ def validate_train_opt(train_opt: dict):
 # param partitioning (fix_and_grad)
 
 def _abstract_fill(leaf):
-    """Deterministic cheap fill for an eval_shape'd param leaf: small
-    POSITIVE values so stored-variance-like params (BatchNorm2dEval.var)
-    stay rsqrt-safe. Statistics are meaningless by design."""
+    """Deterministic cheap fill for an eval_shape'd param leaf. Statistics
+    are meaningless by design, but magnitudes must keep a deep unnormalized
+    net (the D trunk) FINITE: weight tensors get zero-mean values at
+    ~1/sqrt(fan_in) scale (an all-positive fill compounds layer over layer
+    into inf logits — seen as a non-finite l_d in the 8-device dryrun);
+    1-D leaves get a small positive constant so variance-like params
+    (BatchNorm2dEval.var) stay rsqrt-safe."""
     n = max(1, int(np.prod(leaf.shape)))
     if jnp.issubdtype(leaf.dtype, jnp.integer):
         return jnp.zeros(leaf.shape, leaf.dtype)
-    vals = np.linspace(0.01, 0.1, n, dtype=np.float32).reshape(leaf.shape)
+    if len(leaf.shape) < 2:
+        return jnp.full(leaf.shape, 0.05, leaf.dtype)
+    fan_in = max(1, n // leaf.shape[-1])
+    # golden-angle cosine: zero-mean, std ~0.707, no PRNG/compile cost
+    vals = np.cos(np.arange(n, dtype=np.float64) * 2.39996323).astype(
+        np.float32).reshape(leaf.shape)
+    vals *= 1.4 / math.sqrt(fan_in)
     return jnp.asarray(vals, leaf.dtype)
 
 

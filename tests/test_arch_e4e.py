@@ -137,3 +137,16 @@ def test_arch_skip_sa():
     mod_norm = sum(float(jnp.sum(jnp.abs(l)))
                    for l in jax.tree_util.tree_leaves(g["modulation_3"]))
     assert mod_norm > 0
+
+
+def test_arch_narrow_channels_consistent():
+    """Regression (round 3): `narrow` must reach the Generator too — the
+    arch previously narrowed the adapters/SAMM channel table but built the
+    generator at narrow=1, so enable_modulation at narrow!=1 died on a
+    feature-channel mismatch inside the first conditioned stage."""
+    arch = tiny_arch(narrow=0.5, encoder_num_layers=4, n_mlp=2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: arch.init({"params": rng, "noise": rng}, x, mod_size=64))
+    assert shapes  # trace succeeds; channels agree across gen/SAMM/adapters

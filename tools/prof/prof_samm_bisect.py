@@ -71,6 +71,21 @@ def apply_variant(name, opt):
 
         samm.SPMWarp.__call__ = spm
         return opt
+    if name.startswith("nowarp") and name != "nowarp":
+        # stub ONLY the warp+blend at ONE scale (both formulations), keeping
+        # the rest of that scale's SAMM: per-scale warp cost decomposition
+        size = int(name[len("nowarp"):])
+
+        def wbp(target, grid, alpha, p, _o=_orig_wbp):
+            return target if target.shape[1] == size else _o(target, grid,
+                                                             alpha, p)
+
+        def gsb(target, grid, _o=_orig_warp):
+            return target if target.shape[1] == size else _o(target, grid)
+
+        samm.warp_blend_platform = wbp
+        samm.grid_sample_bilinear = gsb
+        return opt
     if name == "cycle1":
         opt = dict(opt, cycle_align=1)
     elif name == "nobody0":
