@@ -119,6 +119,10 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
 _MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
+# When the fp32 row window exceeds scoped VMEM (128px/c=256) but the bf16
+# one fits, cast the feature to bf16 for the warp+blend only (backward
+# recomputes the fp32 reference). Gated by the same batch policy.
+_MXU_WARP_CAST_BF16 = os.environ.get("OGI_MXU_WARP_BF16", "1") == "1"
 # Pure-XLA banded-matmul warp (ops/matmul_warp.py): same gather bypass with
 # no custom-call barrier, at the price of materializing the row bands in
 # HBM. Loses precedence to OGI_MXU_WARP when both are set.
@@ -279,10 +283,22 @@ class SPMWarp(nn.Module):
             dx, dy, alpha = accum[..., 0], accum[..., 1], accum[..., 2:3]
             grid = jnp.stack([base_x[None] + dx, base_y[None] + dy], axis=-1)
             p = max_disp_px(self.scale, w)
-            if (use_mxu_warp(target.shape[0]) and h >= _MXU_WARP_MIN
-                    and mxu_warp_supported(h, w, target.shape[-1], p,
-                                           jnp.dtype(target.dtype).itemsize)):
+            c = target.shape[-1]
+            it = jnp.dtype(target.dtype).itemsize
+            mxu_on = use_mxu_warp(target.shape[0]) and h >= _MXU_WARP_MIN
+            if mxu_on and mxu_warp_supported(h, w, c, p, it):
                 aligned_target = warp_blend_platform(target, grid, alpha, p)
+            elif (mxu_on and _MXU_WARP_CAST_BF16 and it == 4
+                    and mxu_warp_supported(h, w, c, p, 2)):
+                # the fp32 row window blows scoped VMEM at this scale (the
+                # dense-channel 128px case, PERF.md r3 probe) but bf16
+                # halves it: cast the feature for the warp only — the
+                # custom_vjp backward recomputes the fp32 reference, and
+                # XLA's gather (the alternative) is element-rate-capped
+                # batch-flat
+                aligned_target = warp_blend_platform(
+                    target.astype(jnp.bfloat16), grid, alpha,
+                    p).astype(target.dtype)
             elif _XLA_WARP and h >= _MXU_WARP_MIN:
                 aligned_target = xla_warp_blend(target, grid, alpha, p)
             else:

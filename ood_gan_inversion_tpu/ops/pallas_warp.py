@@ -152,10 +152,13 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):
 
 def warp_blend_reference(target, grid, alpha):
     """The exact XLA formulation this kernel replaces
-    (nn/samm.py SPMWarp.__call__ warp + blend)."""
+    (nn/samm.py SPMWarp.__call__ warp + blend). Output keeps the target's
+    dtype: with a bf16 feature and fp32 alpha the blend computes in fp32
+    (like the kernel's fp32 accumulation) and casts back, so both
+    platform_dependent branches agree on output type."""
     al = alpha if alpha.ndim == 4 else alpha[..., None]
     warped = grid_sample_bilinear(target, grid)
-    return warped * al + target * (1.0 - al)
+    return (warped * al + target * (1.0 - al)).astype(target.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

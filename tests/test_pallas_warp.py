@@ -144,3 +144,20 @@ def test_forced_warp_full_samm_on_cpu(monkeypatch):
     out, align = mod.apply(vs, src, tgt)
     assert np.isfinite(np.asarray(out)).all()
     assert align.shape == (2, 32, 32, 3)
+
+
+def test_bf16_cast_warp_parity_dense_channels():
+    """The 128px/c=256 SAMM scale: fp32 row window blows scoped VMEM, bf16
+    fits (probe). The bf16-cast path (nn/samm.py dispatch) must match the
+    fp32 reference to bf16-rounding tolerance."""
+    b, size, c, scale = 2, 128, 256, 0.08
+    x, grid, alpha = _mk(b, size, c, scale)
+    p = pw.max_disp_px(scale, size)
+    assert not pw.mxu_warp_supported(size, size, c, p, 4)
+    assert pw.mxu_warp_supported(size, size, c, p, 2)
+    ref = pw.warp_blend_reference(x, grid, alpha)
+    out = pw._warp_blend_fwd(x.astype(jnp.bfloat16), grid, alpha, p,
+                             interpret=True).astype(jnp.float32)
+    d = float(jnp.abs(out - ref).max())
+    r = float(ref.max() - ref.min())
+    assert d / r < 0.01, (d, r)
