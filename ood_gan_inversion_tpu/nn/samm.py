@@ -119,10 +119,12 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
 _MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
-# When the fp32 row window exceeds scoped VMEM (128px/c=256) but the bf16
-# one fits, cast the feature to bf16 for the warp+blend only (backward
-# recomputes the fp32 reference). Gated by the same batch policy.
-_MXU_WARP_CAST_BF16 = os.environ.get("OGI_MXU_WARP_BF16", "1") == "1"
+# bf16-cast policy for the MXU warp feature (backward always recomputes
+# the fp32 reference): "0" never; "1" only where the fp32 row window
+# exceeds scoped VMEM (128px/c=256) and bf16 fits — measured b=8
+# 26.0 -> 19.7 ms/img (PERF.md r3); "all" casts every MXU warp (also the
+# VMEM-fitting 256px scale) for bandwidth/MXU-rate.
+_MXU_WARP_CAST_BF16 = os.environ.get("OGI_MXU_WARP_BF16", "1")
 # Pure-XLA banded-matmul warp (ops/matmul_warp.py): same gather bypass with
 # no custom-call barrier, at the price of materializing the row bands in
 # HBM. Loses precedence to OGI_MXU_WARP when both are set.
@@ -286,9 +288,13 @@ class SPMWarp(nn.Module):
             c = target.shape[-1]
             it = jnp.dtype(target.dtype).itemsize
             mxu_on = use_mxu_warp(target.shape[0]) and h >= _MXU_WARP_MIN
-            if mxu_on and mxu_warp_supported(h, w, c, p, it):
+            cast_all = _MXU_WARP_CAST_BF16 == "all"
+            cast_fit = _MXU_WARP_CAST_BF16 in ("1", "all")
+            if (mxu_on and mxu_warp_supported(h, w, c, p, it)
+                    and not (cast_all and it == 4
+                             and mxu_warp_supported(h, w, c, p, 2))):
                 aligned_target = warp_blend_platform(target, grid, alpha, p)
-            elif (mxu_on and _MXU_WARP_CAST_BF16 and it == 4
+            elif (mxu_on and cast_fit and it == 4
                     and mxu_warp_supported(h, w, c, p, 2)):
                 # the fp32 row window blows scoped VMEM at this scale (the
                 # dense-channel 128px case, PERF.md r3 probe) but bf16

@@ -387,9 +387,13 @@ def packed_stage_reference(x, n1, n2, skip, k1, s1, d1, b1, k2, s2, d2, b2,
 
 def _stage_band(h: int, w: int, c1: int, c4: int, itemsize: int = 2,
                 budget: int = 10 * 2 ** 20):
-    """Band size for the whole-stage kernel (x band + zact scratch + two
-    fp32 accumulators + z2/rgb outputs)."""
-    for t in (16, 8, 4):
+    """Band size for the whole-stage kernel, PROBE-CALIBRATED
+    (tools/prof/probe_stage_vmem.py, real compiler): at the packed-tail
+    shapes band 4 is the only configuration that both lowers and fits —
+    band 8 crashes the compiler at (256,128,256); sub-128 channel counts
+    (the 1024-out stage's c1=64) fail Mosaic's block lowering outright at
+    any band. The VMEM estimate below gates marginal shapes on top."""
+    for t in (4,):
         if h % t:
             continue
         est = ((t + 4) * (w + 4) * c1 * itemsize        # x band
@@ -403,7 +407,15 @@ def _stage_band(h: int, w: int, c1: int, c4: int, itemsize: int = 2,
 
 def pallas_stage_supported(h: int, w: int, c1: int, c4: int,
                            itemsize: int = 2) -> bool:
-    return _stage_band(h, w, c1, c4, itemsize) is not None
+    """TPU-lowering gate for the whole-stage kernel. On top of the band/VMEM
+    estimate this requires 128-aligned channel counts: the probe
+    (tools/prof/probe_stage_vmem.py) showed sub-128 c1 (the 1024-out
+    stage's c1=64) fails Mosaic's block lowering at any band, and band 8
+    crashes the compiler even at the 128-aligned (256,128,256) shape —
+    _stage_band therefore only offers band 4. Interpret-mode (CPU tests)
+    bypasses this gate and may use any shape."""
+    return (c1 % 128 == 0 and c4 % 128 == 0
+            and _stage_band(h, w, c1, c4, itemsize) is not None)
 
 
 @jax.custom_vjp
