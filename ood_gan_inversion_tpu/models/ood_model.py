@@ -389,10 +389,13 @@ class OODFaceGANModel:
         seconds; the train step then transfers the pytree once.
 
         abstract=True skips running the init programs entirely: parameter
-        SHAPES come from jax.eval_shape and the values are a cheap positive
-        deterministic fill. Correct-by-construction shapes, garbage
-        statistics — for plumbing/sharding dryruns only (where flax-init
-        of the full nets costs minutes of single-core compute)."""
+        SHAPES come from jax.eval_shape and the values are a cheap
+        deterministic fill (zero-mean ~1/sqrt(fan_in) for >=2-D leaves so
+        unnormalized trunks don't blow up; a small positive constant for
+        1-D leaves so norms/gains stay sane). Correct-by-construction
+        shapes, garbage statistics — for plumbing/sharding dryruns only
+        (where flax-init of the full nets costs minutes of single-core
+        compute)."""
         if abstract:
             shapes = jax.eval_shape(
                 lambda r: self._init_net_params(r, sample_shape), rng)

@@ -119,11 +119,16 @@ _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
 _MXU_WARP = os.environ.get("OGI_MXU_WARP", "auto")
 _MXU_WARP_BATCH = int(os.environ.get("OGI_MXU_WARP_BATCH", "2"))
 _MXU_WARP_MIN = int(os.environ.get("OGI_MXU_WARP_MIN", "128"))
-# bf16-cast policy for the MXU warp feature (backward always recomputes
-# the fp32 reference): "0" never; "1" only where the fp32 row window
-# exceeds scoped VMEM (128px/c=256) and bf16 fits — measured b=8
-# 26.0 -> 19.7 ms/img (PERF.md r3); "all" casts every MXU warp (also the
-# VMEM-fitting 256px scale) for bandwidth/MXU-rate.
+# bf16-cast policy for the MXU warp feature: "0" never; "1" only where
+# the fp32 row window exceeds scoped VMEM (128px/c=256) and bf16 fits;
+# "all" casts every MXU warp (also the VMEM-fitting 256px scale) for
+# bandwidth/MXU-rate. NOTE on gradients: in the cast path the custom_vjp
+# residual is the bf16-cast feature, so the backward recomputes the
+# reference formulation AT BF16 INPUTS and the cotangent is
+# bf16-quantized — slightly lower gradient precision than the uncast
+# path (ADVICE r3). Default "1" is a deliberate default-numerics change
+# (~0.3% rel on the warped feature, parity-tested); OGI_MXU_WARP_BF16=0
+# restores strict fp32. A/B: PERF.md r4 "OGI_MXU_WARP_BF16" table.
 _MXU_WARP_CAST_BF16 = os.environ.get("OGI_MXU_WARP_BF16", "1")
 # Pure-XLA banded-matmul warp (ops/matmul_warp.py): same gather bypass with
 # no custom-call barrier, at the price of materializing the row bands in
