@@ -11,17 +11,29 @@ the reference's ProgressiveStage enum; the shipped configs run at Inference
 """
 
 import math
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
-from ..layers import Conv2dTorch, EqualLinear
+from ..layers import Conv2dTorch, Conv2dTorchS, EqualLinear, EqualLinearS
 from ..irse import IRSETrunk, trunk_taps
 from ...ops.resize import resize_bicubic_ac
 
 PROGRESSIVE_INFERENCE = 18  # ProgressiveStage.Inference (psp_encoders.py:32)
+
+# Grouped style-head evaluation (round 4): at Inference stage the encoder
+# runs up to 18 GradualStyleBlocks — ~80 narrow sequential 512x512 convs
+# whose b=1 MXU utilization is terrible. Blocks 0-2 / 3-6 / 7-17 share the
+# same input map and the same architecture, so each group evaluates as ONE
+# wide conv at level 0 (shared input, out-channels concatenated) and
+# feature_group_count grouped convs below — exact same dot products, one op
+# per level instead of one per block. OGI_E4E_GROUPED=0 restores the
+# sequential loop (A/B knob).
+_E4E_GROUPED = os.environ.get("OGI_E4E_GROUPED", "1") == "1"
 
 
 def _upsample_add(x, y):
@@ -29,20 +41,71 @@ def _upsample_add(x, y):
     return resize_bicubic_ac(x, (y.shape[1], y.shape[2])) + y
 
 
+def _leaky(x):
+    return jnp.where(x >= 0, x, 0.01 * x)  # torch LeakyReLU default
+
+
 class GradualStyleBlock(nn.Module):
     """log2(spatial) stride-2 convs + LeakyReLU(0.01) + EqualLinear
-    (psp_encoders.py:35-56)."""
+    (psp_encoders.py:35-56). setup-style so grouped evaluation
+    (styles_grouped) can read the conv/linear params without invoking the
+    module; param tree identical to the previous compact form
+    (conv_0..conv_{n-1}, linear)."""
     out_c: int = 512
     spatial: int = 16
+    in_c: int = 512
 
-    @nn.compact
+    def setup(self):
+        self.num_pools = int(math.log2(self.spatial))
+        # a list attribute named `conv` yields scope names conv_0..conv_{n-1}
+        self.conv = [Conv2dTorchS(self.in_c if i == 0 else self.out_c,
+                                  self.out_c, 3, 2, 1)
+                     for i in range(self.num_pools)]
+        self.linear = EqualLinearS(self.out_c, self.out_c)
+
     def __call__(self, x):
-        num_pools = int(math.log2(self.spatial))
-        for i in range(num_pools):
-            x = Conv2dTorch(self.out_c, 3, 2, 1, name=f"conv_{i}")(x)
-            x = jnp.where(x >= 0, x, 0.01 * x)  # torch LeakyReLU default
+        for i in range(self.num_pools):
+            x = _leaky(self.conv[i](x))
         x = x.reshape(x.shape[0], -1)
-        return EqualLinear(self.out_c, name="linear")(x)
+        return self.linear(x)
+
+
+def styles_grouped(blocks, x):
+    """Evaluate n architecturally-identical GradualStyleBlocks on the SAME
+    input map as one fused chain: level 0 is a single wide conv (the input
+    is shared, so concatenating the blocks' out-channels is exactly the
+    same set of dot products); deeper levels are feature_group_count=n
+    grouped convs (each group = one block's conv, disjoint channels); the
+    final EqualLinears become one batched matmul. Returns the list of
+    (B, out_c) outputs in block order. Exact math vs the sequential loop —
+    only the op grouping changes."""
+    n = len(blocks)
+    if n == 1:
+        return [blocks[0](x)]
+    num_pools = blocks[0].num_pools
+    dt = x.dtype
+    w0 = jnp.concatenate([b.conv[0].weight for b in blocks], axis=-1)
+    b0 = jnp.concatenate([b.conv[0].bias for b in blocks])
+    y = lax.conv_general_dilated(
+        x, w0.astype(dt), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _leaky(y + b0.astype(dt).reshape(1, 1, 1, -1))
+    for lvl in range(1, num_pools):
+        wl = jnp.concatenate([b.conv[lvl].weight for b in blocks], axis=-1)
+        bl = jnp.concatenate([b.conv[lvl].bias for b in blocks])
+        y = lax.conv_general_dilated(
+            y, wl.astype(dt), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=n)
+        y = _leaky(y + bl.astype(dt).reshape(1, 1, 1, -1))
+    bsz = x.shape[0]
+    y = y.reshape(bsz, n, -1)                       # 1x1 spatial: (B, n, C)
+    wlin = jnp.stack([b.linear.weight for b in blocks])       # (n, C, C)
+    blin = jnp.stack([b.linear.bias * b.linear.lr_mul for b in blocks])
+    scale = (1.0 / math.sqrt(wlin.shape[1])) * blocks[0].linear.lr_mul
+    out = jnp.einsum("bnk,nkd->bnd", y, (wlin * scale).astype(dt))
+    out = out + blin.astype(out.dtype)[None]
+    return [out[:, j] for j in range(n)]
 
 
 class Encoder4Editing(nn.Module):
@@ -72,11 +135,31 @@ class Encoder4Editing(nn.Module):
         # feats: [input 256px/64, 128px/64, 64px/128, 32px/256, 16px/512]
         c1, c2, c3 = feats[2], feats[3], feats[4]
 
+        n_active = min(stage + 1, self.style_count)
+        if _E4E_GROUPED and n_active == self.style_count:
+            # Inference-stage fast path: evaluate the style heads in three
+            # shared-input groups (see styles_grouped). The FPN maps are
+            # still built lazily in the same order as the loop below.
+            outs = styles_grouped(
+                self.styles[:min(self.coarse_ind, self.style_count)], c3)
+            if self.style_count > self.coarse_ind:
+                p2 = _upsample_add(c3, self.latlayer1(c2))
+                outs += styles_grouped(
+                    self.styles[self.coarse_ind:
+                                min(self.middle_ind, self.style_count)], p2)
+            if self.style_count > self.middle_ind:
+                p1 = _upsample_add(p2, self.latlayer2(c1))
+                outs += styles_grouped(self.styles[self.middle_ind:], p1)
+            w0 = outs[0]
+            deltas = [jnp.zeros_like(w0)] + outs[1:]
+            w = w0[:, None, :] + jnp.stack(deltas, axis=1)
+            return w, feats
+
         w0 = self.styles[0](c3)
         deltas = [jnp.zeros_like(w0)]
         features = c3
         p2 = None
-        for i in range(1, min(stage + 1, self.style_count)):
+        for i in range(1, n_active):
             if i == self.coarse_ind:
                 p2 = _upsample_add(c3, self.latlayer1(c2))
                 features = p2
@@ -118,6 +201,14 @@ class GradualStyleEncoder(nn.Module):
     def __call__(self, x):
         _, feats = self.trunk(x, taps=trunk_taps(self.num_layers)[1:])
         c1, c2, c3 = feats[1], feats[2], feats[3]
+        if _E4E_GROUPED:
+            latents = styles_grouped(self.styles[:self.coarse_ind], c3)
+            p2 = _upsample_add(c3, self.latlayer1(c2))
+            latents += styles_grouped(
+                self.styles[self.coarse_ind:self.middle_ind], p2)
+            p1 = _upsample_add(p2, self.latlayer2(c1))
+            latents += styles_grouped(self.styles[self.middle_ind:], p1)
+            return jnp.stack(latents, axis=1)
         latents = [self.styles[j](c3) for j in range(self.coarse_ind)]
         p2 = _upsample_add(c3, self.latlayer1(c2))
         latents += [self.styles[j](p2)

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..irse import IRSETrunk, trunk_taps
-from .e4e import GradualStyleBlock, PROGRESSIVE_INFERENCE
+from .e4e import (GradualStyleBlock, PROGRESSIVE_INFERENCE, _E4E_GROUPED,
+                  styles_grouped)
 
 
 class ProgressiveBackboneEncoder(nn.Module):
@@ -30,6 +31,14 @@ class ProgressiveBackboneEncoder(nn.Module):
 
     def __call__(self, x, stage: int = PROGRESSIVE_INFERENCE):
         final, feats = self.trunk(x, taps=trunk_taps(self.num_layers))
+        if _E4E_GROUPED and min(stage + 1, self.n_styles) == self.n_styles:
+            # all n_styles heads share the final 16px map -> one group
+            # (nn/encoders/e4e.py:styles_grouped; exact math)
+            outs = styles_grouped(self.styles, final)
+            w0 = outs[0]
+            w = w0[:, None, :] + jnp.stack(
+                [jnp.zeros_like(w0)] + outs[1:], axis=1)
+            return w, feats
         w0 = self.styles[0](final)
         deltas = [jnp.zeros_like(w0)]
         for i in range(1, min(stage + 1, self.n_styles)):

@@ -128,6 +128,66 @@ class Conv2dTorch(nn.Module):
         return y
 
 
+class Conv2dTorchS(nn.Module):
+    """Setup-style Conv2dTorch (explicit in_ch) exposing .weight/.bias so
+    grouped evaluators (nn/encoders/e4e.py style-chain batching) can read
+    params without invoking the module. Identical param names/init/math to
+    Conv2dTorch."""
+    in_ch: int
+    out_ch: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    def setup(self):
+        self.weight = self.param(
+            "weight", torch_conv_init,
+            (self.kernel_size, self.kernel_size, self.in_ch, self.out_ch))
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", torch_bias_init(self.kernel_size ** 2 * self.in_ch),
+                (self.out_ch,))
+
+    def __call__(self, x):
+        y = jax.lax.conv_general_dilated(
+            x, self.weight.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding),
+                     (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.bias.astype(y.dtype).reshape(1, 1, 1, -1)
+        return y
+
+
+class EqualLinearS(nn.Module):
+    """Setup-style EqualLinear (explicit in_dim) exposing .weight/.bias for
+    grouped evaluation. Identical param names/init/math to EqualLinear
+    (plain-bias path; no fused_lrelu activation here)."""
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+
+    def setup(self):
+        self.weight = self.param(
+            "weight", lambda k, s: jax.random.normal(k, s) / self.lr_mul,
+            (self.in_dim, self.out_dim))
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.constant(self.bias_init),
+                (self.out_dim,))
+
+    def __call__(self, x):
+        scale = (1.0 / math.sqrt(self.in_dim)) * self.lr_mul
+        y = x @ (self.weight * scale).astype(x.dtype)
+        if self.use_bias:
+            y = y + (self.bias * self.lr_mul).astype(y.dtype)
+        return y
+
+
 class FusedLeakyReLU(nn.Module):
     """Bias + lrelu(0.2) * sqrt(2) with learned per-channel bias
     (reference src/ops/op/fused_act.py:79-96). setup-style so the packed

@@ -35,7 +35,8 @@ from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pallas_kernels import (conv3x3_act, conv3x3_act_supported,
                                   fused_alignnet_body0,
                                   algebraic_alignnet_body0,
-                                  alignnet_body0_supported)
+                                  alignnet_body0_supported,
+                                  alignnet_t_context)
 from ..ops.matmul_warp import xla_warp_blend
 from ..ops.pallas_warp import (warp_blend_platform, mxu_warp_supported,
                                max_disp_px)
@@ -97,6 +98,10 @@ _SAMM_FUSED = os.environ.get("OGI_SAMM_FUSED", "0") == "1"
 # skips the entry-IN materializations, the 2C concat, and norm1's stats
 # pass. OGI_SAMM_ALGEBRAIC=0 falls back to the literal module dataflow.
 _SAMM_ALGEBRAIC = os.environ.get("OGI_SAMM_ALGEBRAIC", "1") == "1"
+# Cross-cycle hoist of the encoder-side half of body0 (exact math, r4):
+# SPMWarp computes the cycle-invariant target terms once before the align
+# loop. OGI_SAMM_TCTX=0 disables (A/B knob).
+_SAMM_TCTX = os.environ.get("OGI_SAMM_TCTX", "1") == "1"
 
 # Gather-free MXU warp (ops/pallas_warp.py) for SAMM scales >= MIN px —
 # XLA's gather is batch-flat at ~4.3 ms/img per 256px warp (PERF.md r2).
@@ -197,16 +202,29 @@ class _XavierBottleneckIR(nn.Module):
         return res + shortcut
 
     def fused_entry(self, source, target, diff_f_and_g: bool,
-                    use_pallas: bool):
+                    use_pallas: bool, t_ctx=None):
         """AlignNet entry-IN + concat + this bottleneck as one fused op
         (identity-shortcut case only: in_ch == depth = 2C). source/target
         are the RAW C-channel features, pre-entry-IN. use_pallas selects
-        the Pallas kernels vs the pure-XLA algebraic formulation."""
+        the Pallas kernels vs the pure-XLA algebraic formulation. t_ctx:
+        precomputed cycle-invariant target-side terms (algebraic path
+        only; see alignnet_t_context)."""
         assert self.in_ch == self.depth, "fused path needs identity shortcut"
-        op = fused_alignnet_body0 if use_pallas else algebraic_alignnet_body0
-        return op(source, target, self.norm1.scale, self.norm1.bias,
-                  self.conv1.weight, self.prelu, self.conv2.weight,
-                  self.norm2.scale, self.norm2.bias, diff_f_and_g)
+        if use_pallas:
+            return fused_alignnet_body0(
+                source, target, self.norm1.scale, self.norm1.bias,
+                self.conv1.weight, self.prelu, self.conv2.weight,
+                self.norm2.scale, self.norm2.bias, diff_f_and_g)
+        return algebraic_alignnet_body0(
+            source, target, self.norm1.scale, self.norm1.bias,
+            self.conv1.weight, self.prelu, self.conv2.weight,
+            self.norm2.scale, self.norm2.bias, diff_f_and_g, t_ctx=t_ctx)
+
+    def t_context(self, target):
+        """Cycle-invariant target-side precomputation for the algebraic
+        fused path (ops/pallas_kernels.py:alignnet_t_context)."""
+        return alignnet_t_context(target, self.norm1.scale, self.norm1.bias,
+                                  self.conv1.weight)
 
 
 class AlignNet(nn.Module):
@@ -215,30 +233,44 @@ class AlignNet(nn.Module):
     scale: float = 1.0
     diff_f_and_g: bool = True
 
-    @nn.compact
-    def __call__(self, source, target):
-        body0 = _XavierBottleneckIR(self.in_ch * 2, self.in_ch * 2,
-                                    name="body0")
+    def setup(self):
+        # setup-style (not compact) so SPMWarp can call t_context() outside
+        # the per-cycle __call__ (cross-cycle hoisting of the target-side
+        # conv1 half; the per-cycle calls then reuse it)
+        self.body0 = _XavierBottleneckIR(self.in_ch * 2, self.in_ch * 2)
+        self.body1 = _XavierBottleneckIR(self.in_ch * 2, 3)
+        self.norm = InstanceNorm2d(self.in_ch, affine=False)
+
+    def algebraic_selected(self, h: int, w: int) -> bool:
+        """True when __call__ will take the pure-XLA algebraic body0 path
+        (the one t_context can accelerate) for an (h, w) feature."""
+        return (_SAMM_ALGEBRAIC
+                and not (_SAMM_FUSED
+                         and alignnet_body0_supported(h, w, self.in_ch)))
+
+    def t_context(self, target):
+        return self.body0.t_context(target)
+
+    def __call__(self, source, target, t_ctx=None):
         if _SAMM_FUSED and alignnet_body0_supported(
                 source.shape[1], source.shape[2], self.in_ch):
-            h = body0.fused_entry(source, target, self.diff_f_and_g,
-                                  use_pallas=True)
+            h = self.body0.fused_entry(source, target, self.diff_f_and_g,
+                                       use_pallas=True)
         elif _SAMM_ALGEBRAIC:
-            h = body0.fused_entry(source, target, self.diff_f_and_g,
-                                  use_pallas=False)
+            h = self.body0.fused_entry(source, target, self.diff_f_and_g,
+                                       use_pallas=False, t_ctx=t_ctx)
         else:
-            norm = InstanceNorm2d(self.in_ch, affine=False, name="norm")
             # one batch-stacked IN instead of two (per-sample stats are
             # independent, so norm(stack) == stack(norms))
             b = source.shape[0]
-            st = norm(jnp.concatenate([source, target], axis=0))
+            st = self.norm(jnp.concatenate([source, target], axis=0))
             source, target = st[:b], st[b:]
             if self.diff_f_and_g:
                 h = jnp.concatenate([source - target, target], axis=-1)
             else:
                 h = jnp.concatenate([source, target], axis=-1)
-            h = body0(h)
-        h = _XavierBottleneckIR(self.in_ch * 2, 3, name="body1")(h)
+            h = self.body0(h)
+        h = self.body1(h)
         dx = jnp.tanh(h[..., 0:1]) * self.scale
         dy = jnp.tanh(h[..., 1:2]) * self.scale
         alpha = jax.nn.sigmoid(h[..., 2:3])
@@ -279,10 +311,21 @@ class SPMWarp(nn.Module):
         base_x = jnp.broadcast_to(lin_x[None, :], (h, w))
         base_y = jnp.broadcast_to(lin_y[:, None], (h, w))
 
+        # Cross-cycle hoist (exact math): the encoder feature `source` is
+        # constant across align cycles, so its half of body0's conv1 (plus
+        # its IN moments and normalized form) is computed ONCE here instead
+        # of per cycle — XLA's CSE cannot do this itself because the joint
+        # formulation stacks t-only and s-dependent coefficients into one
+        # tensor (ops/pallas_kernels.py:alignnet_t_context).
+        t_ctx = None
+        if (_SAMM_TCTX and self.cycle_align > 1
+                and self.body.algebraic_selected(h, w)):
+            t_ctx = self.body.t_context(source)
+
         aligned_target = target
         accum = None
         for k in range(self.cycle_align):
-            align = self.body(aligned_target, source)
+            align = self.body(aligned_target, source, t_ctx=t_ctx)
             align = fir_blur(align, self._kernel.astype(align.dtype), pad=(2, 1))
             accum = align if accum is None else self._add(accum, align)
             if k == self.cycle_align - 1 and aligned_coarse is not None:

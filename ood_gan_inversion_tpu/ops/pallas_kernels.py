@@ -777,37 +777,105 @@ def alignnet_body0_reference(s, t, g1, b1, k1, alpha, k2, g2, b2,
     return (inorm(y2, g2, b2) + h).astype(s.dtype)
 
 
+def _an_conv(v, k):
+    return lax.conv_general_dilated(
+        v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def alignnet_t_context(t, g1, b1, k1, eps: float = 1e-5):
+    """Cycle-invariant precomputation for algebraic_alignnet_body0.
+
+    In SPM_Warp's align loop (SAMM/helpers.py:149-179) the encoder feature
+    `t` is CONSTANT across the cycle_align iterations — only the warped
+    generator feature `s` changes. Everything in the body0 algebra that
+    depends on t alone is therefore loop-invariant: the t-moments, the
+    normalized t̂ (= shortcut half h2), and — the expensive part — the
+    t-half of conv1 (norm1's affine on t̂ convolved with k1[:, :, c:],
+    half of conv1's MACs). XLA's CSE cannot hoist these as written in the
+    joint formulation because the t-only coefficients are stacked with
+    s-dependent ones into one tensor; this computes them t-only so
+    SPMWarp can evaluate once before the loop. Exact same ops/order as
+    the inline path -> bit-identical results."""
+    c = t.shape[-1]
+    cdt = jnp.bfloat16 if _CONV_BF16 else t.dtype
+    t32 = t.astype(jnp.float32)
+    et = jnp.mean(t32, axis=(1, 2))
+    ett = jnp.mean(t32 * t32, axis=(1, 2))
+    vt = jnp.maximum(ett - et * et, 0.0)
+    inv_t = jax.lax.rsqrt(vt + eps)
+    gb, bb = g1[c:].astype(jnp.float32), b1[c:].astype(jnp.float32)
+    r2 = jax.lax.rsqrt(vt * inv_t * inv_t + eps)
+    ct_ = (inv_t * r2 * gb)[:, None, None, :]
+    b2h = (-et * inv_t * r2 * gb + bb)[:, None, None, :]
+    x1b = (ct_ * t32 + b2h).astype(cdt)
+    zb = _an_conv(x1b, k1[:, :, c:])
+    tn = (t32 - et[:, None, None, :]) * inv_t[:, None, None, :]
+    return {"et": et, "vt": vt, "inv_t": inv_t, "tn": tn, "zb": zb}
+
+
 def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
-                             diff_f_and_g: bool = True, eps: float = 1e-5):
+                             diff_f_and_g: bool = True, eps: float = 1e-5,
+                             t_ctx=None):
     """The SAME moments-folding algebra as fused_alignnet_body0 but in pure
     XLA: no custom-call fusion barriers, no pad pre-copies, autodiff'able.
     vs the module path it skips the entry-IN materializations (the affine
     coefficients absorb them), the 2C concat (conv1 splits into two summed
     convs over the halves), and norm1's extra stats pass. The norm2 +
     shortcut epilogue recomputes h elementwise from (s, t) — XLA fuses it
-    with the y2 moments pass."""
+    with the y2 moments pass. t_ctx (from alignnet_t_context) supplies the
+    cycle-invariant t-side terms so multi-cycle SPM_Warp skips the t-half
+    conv after cycle 1."""
     c = s.shape[-1]
     cdt = jnp.bfloat16 if _CONV_BF16 else s.dtype
-    s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
-    coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g, eps)
-    as_, at_, b1h, ct_, b2h = [coeffs[:, i][:, None, None, :]
-                               for i in range(5)]
-    x1a = (as_ * s32 + at_ * t32 + b1h).astype(cdt)
-    x1b = (ct_ * t32 + b2h).astype(cdt)
-
-    def conv(v, k):
-        return lax.conv_general_dilated(
-            v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(v.dtype)
-
-    if _CONCAT1:
-        # one 2C-in conv over the materialized concat instead of two summed
-        # C-in convs: trades one extra HBM pass for a single bigger MXU op
-        # (better b=1 utilization at the 256px scale's C=128 halves)
-        z = conv(jnp.concatenate([x1a, x1b], axis=-1), k1)
+    conv = _an_conv
+    if t_ctx is not None:
+        s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
+        et, vt, inv_t = t_ctx["et"], t_ctx["vt"], t_ctx["inv_t"]
+        es = jnp.mean(s32, axis=(1, 2))
+        ess = jnp.mean(s32 * s32, axis=(1, 2))
+        vs = jnp.maximum(ess - es * es, 0.0)
+        inv_s = jax.lax.rsqrt(vs + eps)
+        ga = g1[:c].astype(jnp.float32)
+        ba = b1[:c].astype(jnp.float32)
+        if diff_f_and_g:
+            est = jnp.mean(s32 * t32, axis=(1, 2))
+            cov = est - es * et
+            vd = jnp.maximum(vs * inv_s * inv_s + vt * inv_t * inv_t
+                             - 2.0 * cov * inv_s * inv_t, 0.0)
+            rd = jax.lax.rsqrt(vd + eps)
+            as_ = inv_s * rd * ga
+            at_ = -inv_t * rd * ga
+            b1h = (et * inv_t - es * inv_s) * rd * ga + ba
+        else:
+            r1 = jax.lax.rsqrt(vs * inv_s * inv_s + eps)
+            as_ = inv_s * r1 * ga
+            at_ = jnp.zeros_like(as_)
+            b1h = -es * inv_s * r1 * ga + ba
+        x1a = (as_[:, None, None, :] * s32 + at_[:, None, None, :] * t32
+               + b1h[:, None, None, :]).astype(cdt)
+        z = conv(x1a, k1[:, :, :c]) + t_ctx["zb"]
+        sn = (s32 - es[:, None, None, :]) * inv_s[:, None, None, :]
+        h1 = sn - t_ctx["tn"] if diff_f_and_g else sn
+        h2 = t_ctx["tn"]
     else:
-        z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
+        s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
+        coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g,
+                                          eps)
+        as_, at_, b1h, ct_, b2h = [coeffs[:, i][:, None, None, :]
+                                   for i in range(5)]
+        x1a = (as_ * s32 + at_ * t32 + b1h).astype(cdt)
+        x1b = (ct_ * t32 + b2h).astype(cdt)
+
+        if _CONCAT1:
+            # one 2C-in conv over the materialized concat instead of two
+            # summed C-in convs: trades one extra HBM pass for a single
+            # bigger MXU op (better b=1 utilization at the 256px scale's
+            # C=128 halves)
+            z = conv(jnp.concatenate([x1a, x1b], axis=-1), k1)
+        else:
+            z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
     z = jnp.where(z >= 0, z, alpha.reshape(1, 1, 1, -1).astype(z.dtype) * z)
     y2 = conv(z, k2).astype(jnp.float32)
     mu2 = jnp.mean(y2, axis=(1, 2), keepdims=True)

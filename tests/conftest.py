@@ -22,6 +22,16 @@ import jax  # noqa: E402
 # JAX_PLATFORMS in the environment; override at the config level.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (round 4): the CPU backend writes reusable cache
+# entries (verified by the dryrun, PERF.md r3), and the heavy tier cost is
+# dominated by recompiling the same train-step/pipeline programs every run.
+# Warm re-runs load them instead. Keyed on HLO+flags, so code changes that
+# alter a program miss the cache naturally. Dir is gitignored.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 # ---------------------------------------------------------------------------
 # Test tiers (round 3): the golden reference-parity tests import and RUN the
 # actual /root/reference torch code — thorough but slow (the full suite is

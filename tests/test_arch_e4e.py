@@ -150,3 +150,47 @@ def test_arch_narrow_channels_consistent():
     shapes = jax.eval_shape(
         lambda: arch.init({"params": rng, "noise": rng}, x, mod_size=64))
     assert shapes  # trace succeeds; channels agree across gen/SAMM/adapters
+
+
+def test_encoder_grouped_matches_sequential(monkeypatch):
+    """styles_grouped (round-4 grouped style-head evaluation) must be exact
+    vs the sequential per-block loop: same param tree, same outputs."""
+    import ood_gan_inversion_tpu.nn.encoders.e4e as e4e_mod
+    enc = Encoder4Editing(num_layers=4, mode="ir_se", stylegan_size=1024)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 256, 3)) * 0.4
+    params = enc.init(rng, x)
+    monkeypatch.setattr(e4e_mod, "_E4E_GROUPED", True)
+    w_g, feats_g = enc.apply(params, x)
+    monkeypatch.setattr(e4e_mod, "_E4E_GROUPED", False)
+    w_s, feats_s = enc.apply(params, x)
+    assert w_g.shape == (2, 18, 512)
+    np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_s),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(feats_g, feats_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-Inference progressive stage keeps the sequential path and the two
+    # flags still agree (grouped path only gates on the full-stage case)
+    monkeypatch.setattr(e4e_mod, "_E4E_GROUPED", True)
+    w_g5, _ = enc.apply(params, x, stage=5)
+    monkeypatch.setattr(e4e_mod, "_E4E_GROUPED", False)
+    w_s5, _ = enc.apply(params, x, stage=5)
+    np.testing.assert_allclose(np.asarray(w_g5), np.asarray(w_s5),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_restyle_encoder_grouped_matches_sequential(monkeypatch):
+    import ood_gan_inversion_tpu.nn.encoders.e4e as e4e_mod
+    import ood_gan_inversion_tpu.nn.encoders.restyle as restyle_mod
+    from ood_gan_inversion_tpu.nn.encoders.restyle import (
+        ProgressiveBackboneEncoder)
+    enc = ProgressiveBackboneEncoder(num_layers=4, n_styles=18)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 6)) * 0.4
+    params = enc.init(rng, x)
+    monkeypatch.setattr(restyle_mod, "_E4E_GROUPED", True)
+    w_g, _ = enc.apply(params, x)
+    monkeypatch.setattr(restyle_mod, "_E4E_GROUPED", False)
+    w_s, _ = enc.apply(params, x)
+    np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_s),
+                               rtol=2e-5, atol=2e-5)

@@ -255,6 +255,49 @@ def test_algebraic_alignnet_body0_matches_reference(diff):
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("diff", [True, False])
+def test_algebraic_alignnet_body0_t_ctx_exact(diff):
+    """The cross-cycle hoisted path (t_ctx from alignnet_t_context) must be
+    numerically identical to the joint formulation — same ops, same order —
+    and match the reference within the usual tolerance."""
+    from ood_gan_inversion_tpu.ops.pallas_kernels import (
+        algebraic_alignnet_body0, alignnet_body0_reference,
+        alignnet_t_context)
+    rs = np.random.RandomState(13)
+    b, h, c = 2, 16, 64
+    s = jnp.asarray(rs.randn(b, h, h, c).astype(np.float32))
+    t = jnp.asarray((rs.randn(b, h, h, c) * 2 + 0.3).astype(np.float32))
+    c2 = 2 * c
+    g1 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b1 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    k1 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    al = jnp.asarray(rs.rand(c2).astype(np.float32) * 0.5)
+    k2 = jnp.asarray(rs.randn(3, 3, c2, c2).astype(np.float32) * 0.05)
+    g2 = jnp.asarray((rs.rand(c2) + 0.5).astype(np.float32))
+    b2 = jnp.asarray(0.2 * rs.randn(c2).astype(np.float32))
+    args = (s, t, g1, b1, k1, al, k2, g2, b2)
+    ctx = alignnet_t_context(t, g1, b1, k1)
+    plain = algebraic_alignnet_body0(*args, diff)
+    hoisted = algebraic_alignnet_body0(*args, diff, t_ctx=ctx)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+    ref = alignnet_body0_reference(*args, diff)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # differentiable through the hoisted context too (train path)
+    def loss(s_, t_):
+        ctx_ = alignnet_t_context(t_, g1, b1, k1)
+        return jnp.sum(algebraic_alignnet_body0(
+            s_, t_, *args[2:], diff, t_ctx=ctx_) ** 2)
+    gs, gt = jax.grad(loss, argnums=(0, 1))(s, t)
+    rs_, rt_ = jax.grad(lambda s_, t_: jnp.sum(alignnet_body0_reference(
+        s_, t_, *args[2:], diff) ** 2), argnums=(0, 1))(s, t)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs_),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(rt_),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_algebraic_alignnet_body0_bf16_convs(monkeypatch):
     """OGI_SAMM_CONV_BF16=1: bf16 conv operands, fp32 stats — the result must
     track the fp32 reference within bf16 rounding of the conv chain."""

@@ -1,0 +1,85 @@
+"""Round-4 b=1 decomposition: where do the 25 ms/img sit TODAY?
+
+Splits the serving pipeline (bench.py config) into
+  full        = encode + adapters + SAMM decode + blend
+  noenc       = decode_samm only (lats/feats precomputed, passed as args)
+  enc_only    = encode (+ 1x1 adapters) only
+so   encoder cost ~= full - noenc   (cross-checked against enc_only)
+and pairs with prof_batch (nosamm) / prof_samm_bisect for the SAMM split.
+
+Timing protocol: block_until_ready window means, best of 3 (bench.py).
+"""
+import os, sys, time
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+import numpy as np
+import jax, jax.numpy as jnp
+
+from ood_gan_inversion_tpu.archs import build_network
+
+tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+cpu = jax.devices("cpu")[0]
+print("device:", tpu, file=sys.stderr)
+
+DTYPE = os.environ.get("DT", "bfloat16")
+BATCHES = [int(b) for b in os.environ.get("BATCHES", "1,8").split(",")]
+
+OPT = {
+    "type": "ood_faceGAN_e4e", "out_size": 1024, "style_dim": 512,
+    "encoder": "E4E", "enable_modulation": True, "modulation_type": "NOISE",
+    "warp_scale": 0.08, "cycle_align": 2, "blend_with_gen": True,
+    "dtype": DTYPE,
+}
+
+net = build_network(OPT)
+rng = jax.random.PRNGKey(0)
+with jax.default_device(cpu):
+    variables = net.init({"params": rng, "noise": rng},
+                         jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+params = jax.device_put(variables["params"], tpu)
+
+
+def timeit(fn, args, label, iters=20, windows=3):
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    comp = time.time() - t0
+    for _ in range(3):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = 1e9
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{label:24s} {best * 1000:8.2f} ms  (compile {comp:.0f}s)",
+          flush=True)
+    return best * 1000
+
+
+for b in BATCHES:
+    x_host = np.random.RandomState(0).randn(b, 1024, 1024, 3).astype(
+        np.float32)
+    x = jax.device_put(jnp.asarray(x_host), tpu)
+    key = jax.random.PRNGKey(1)
+
+    full = jax.jit(lambda p, xx, k: net.apply(
+        {"params": p}, xx, mod_size=256, rngs={"noise": k}))
+    t_full = timeit(full, (params, x, key), f"b={b} full")
+
+    enc = jax.jit(lambda p, xx: net.apply({"params": p}, xx,
+                                          method="encode"))
+    lats, feats_c = enc(params, x)
+    jax.block_until_ready(lats)
+    t_enc = timeit(enc, (params, x), f"b={b} enc_only")
+
+    dec = jax.jit(lambda p, l, f, xx, k: net.apply(
+        {"params": p}, l, f, xx, mod_size=256, method="decode_samm",
+        rngs={"noise": k}))
+    t_dec = timeit(dec, (params, lats, feats_c, x, key), f"b={b} noenc")
+
+    print(f"b={b}: encoder-in-pipeline ~= {t_full - t_dec:6.2f} ms "
+          f"(standalone {t_enc:6.2f});  decode_samm = {t_dec:6.2f}",
+          flush=True)

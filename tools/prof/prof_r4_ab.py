@@ -1,0 +1,105 @@
+"""Round-4 consolidated A/B driver: ONE process, ONE CPU param init, then
+several trace-time flag configurations benchmarked back-to-back on the real
+chip (controls for service drift; avoids paying the ~7-min contended CPU
+init per config like per-process env A/Bs do).
+
+Flags are monkeypatched at module level between jits — they are read at
+trace time inside the module __call__s, so a fresh jax.jit wrapper picks
+them up.
+
+CONFIGS env (comma list) selects from the table; BATCHES (default 1,8).
+"""
+import os, sys, time
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+import numpy as np
+import jax, jax.numpy as jnp
+
+import ood_gan_inversion_tpu.nn.samm as samm
+import ood_gan_inversion_tpu.nn.encoders.e4e as e4e
+from ood_gan_inversion_tpu.archs import build_network
+
+tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+cpu = jax.devices("cpu")[0]
+print("device:", tpu, file=sys.stderr, flush=True)
+
+OPT = {
+    "type": "ood_faceGAN_e4e", "out_size": 1024, "style_dim": 512,
+    "encoder": "E4E", "enable_modulation": True, "modulation_type": "NOISE",
+    "warp_scale": 0.08, "cycle_align": 2, "blend_with_gen": True,
+    "dtype": "bfloat16",
+}
+
+# (label, {module: {attr: value}}) — applied on top of the shipped defaults
+CONFIG_TABLE = {
+    "base":          {},
+    "tctx0":         {samm: {"_SAMM_TCTX": False}},
+    "egroup0":       {e4e: {"_E4E_GROUPED": False}},
+    "tctx0_egroup0": {samm: {"_SAMM_TCTX": False},
+                      e4e: {"_E4E_GROUPED": False}},
+    "warpbf16_0":    {samm: {"_MXU_WARP_CAST_BF16": "0"}},
+    "warpbf16_all":  {samm: {"_MXU_WARP_CAST_BF16": "all"}},
+    "sammfp32_off":  {},  # handled via common._SAMM_FP32 below
+}
+
+from ood_gan_inversion_tpu.archs import common as arch_common
+CONFIG_TABLE["sammfp32_off"] = {arch_common: {"_SAMM_FP32": False}}
+
+CONFIGS = os.environ.get(
+    "CONFIGS", "base,tctx0,egroup0,tctx0_egroup0").split(",")
+BATCHES = [int(b) for b in os.environ.get("BATCHES", "1,8").split(",")]
+ITERS = int(os.environ.get("ITERS", "20"))
+
+t0 = time.time()
+net = build_network(OPT)
+rng = jax.random.PRNGKey(0)
+with jax.default_device(cpu):
+    variables = net.init({"params": rng, "noise": rng},
+                         jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
+params = jax.device_put(variables["params"], tpu)
+print(f"init done in {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
+saved = {}
+
+
+def apply_patches(patches):
+    for mod, attrs in patches.items():
+        for a, v in attrs.items():
+            saved.setdefault((mod, a), getattr(mod, a))
+            setattr(mod, a, v)
+
+
+def restore():
+    for (mod, a), v in saved.items():
+        setattr(mod, a, v)
+    saved.clear()
+
+
+xs = {b: jax.device_put(jnp.asarray(np.random.RandomState(0).randn(
+    b, 1024, 1024, 3).astype(np.float32)), tpu) for b in BATCHES}
+
+for name in CONFIGS:
+    apply_patches(CONFIG_TABLE[name])
+    fwd = jax.jit(lambda p, xx, k: net.apply(
+        {"params": p}, xx, mod_size=256, rngs={"noise": k}))
+    for b in BATCHES:
+        x = xs[b]
+        t0 = time.time()
+        out = fwd(params, x, jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+        comp = time.time() - t0
+        for i in range(3):
+            out = fwd(params, x, jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        iters = max(4, ITERS // b)
+        best = 1e9
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = fwd(params, x, jax.random.PRNGKey(100 + w * iters + i))
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        print(f"{name:16s} b={b}  {best * 1000 / b:8.2f} ms/img  "
+              f"({b / best:6.1f} imgs/s)  compile {comp:.0f}s", flush=True)
+    restore()
+print("ab done", flush=True)
