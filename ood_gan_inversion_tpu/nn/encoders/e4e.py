@@ -29,11 +29,17 @@ PROGRESSIVE_INFERENCE = 18  # ProgressiveStage.Inference (psp_encoders.py:32)
 # runs up to 18 GradualStyleBlocks — ~80 narrow sequential 512x512 convs
 # whose b=1 MXU utilization is terrible. Blocks 0-2 / 3-6 / 7-17 share the
 # same input map and the same architecture, so each group evaluates as ONE
-# wide conv at level 0 (shared input, out-channels concatenated) and
-# feature_group_count grouped convs below — exact same dot products, one op
-# per level instead of one per block. OGI_E4E_GROUPED=0 restores the
-# sequential loop (A/B knob).
+# wide conv at level 0 (shared input, out-channels concatenated) and one
+# fused op per deeper level — exact same dot products, one op per level
+# instead of one per block. OGI_E4E_GROUPED=0 restores the sequential loop
+# (A/B knob).
 _E4E_GROUPED = os.environ.get("OGI_E4E_GROUPED", "1") == "1"
+# Deeper-level formulation: "matmul" extracts the 9 stride-2 taps as slices
+# and contracts one batched (n, rows, 9C) x (n, 9C, C) dot (explicit
+# layout, no grouped-conv lowering); "conv" uses feature_group_count=n
+# convs (XLA's grouped-conv lowering regressed b=1 by ~6 ms/img on the
+# real chip — PERF.md r4 A/B).
+_E4E_GROUP_MODE = os.environ.get("OGI_E4E_GROUP_MODE", "matmul")
 
 
 def _upsample_add(x, y):
@@ -70,6 +76,29 @@ class GradualStyleBlock(nn.Module):
         return self.linear(x)
 
 
+def _grouped_s2_conv_matmul(y, ws, n):
+    """Grouped stride-2 3x3 conv (pad 1) as one batched matmul.
+
+    y: (B, h, w, n*c) group-major channels; ws: (n, 3, 3, c, c). Extracts
+    the 9 kernel taps as strided slices of the padded input, stacks them as
+    (B, oh, ow, 9, n, c), and contracts taps+c against the per-group kernel
+    in a single dot_general with n as a batch dim — the exact same dot
+    products as n separate convs, but one MXU op."""
+    bsz, h, w, nc = y.shape
+    c = nc // n
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    yp = jnp.pad(y, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    taps = [yp[:, kh:kh + h:2, kw:kw + w:2, :]
+            for kh in range(3) for kw in range(3)]
+    p = jnp.stack(taps, axis=3).reshape(bsz, oh, ow, 9, n, c)
+    # ws (n,3,3,c,c) -> (n, 9*c, c); k index = (kh*3+kw)*c + cc
+    wm = ws.reshape(ws.shape[0], 9 * c, c)
+    p = p.transpose(0, 1, 2, 4, 3, 5).reshape(bsz, oh, ow, n, 9 * c)
+    out = jnp.einsum("bhwnk,nkd->bhwnd", p, wm,
+                     preferred_element_type=jnp.float32).astype(y.dtype)
+    return out.reshape(bsz, oh, ow, n * c)
+
+
 def styles_grouped(blocks, x):
     """Evaluate n architecturally-identical GradualStyleBlocks on the SAME
     input map as one fused chain: level 0 is a single wide conv (the input
@@ -91,12 +120,19 @@ def styles_grouped(blocks, x):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = _leaky(y + b0.astype(dt).reshape(1, 1, 1, -1))
     for lvl in range(1, num_pools):
-        wl = jnp.concatenate([b.conv[lvl].weight for b in blocks], axis=-1)
         bl = jnp.concatenate([b.conv[lvl].bias for b in blocks])
-        y = lax.conv_general_dilated(
-            y, wl.astype(dt), (2, 2), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=n)
+        if _E4E_GROUP_MODE == "conv":
+            wl = jnp.concatenate([b.conv[lvl].weight for b in blocks],
+                                 axis=-1)
+            y = lax.conv_general_dilated(
+                y, wl.astype(dt), (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=n)
+        else:
+            # stride-2 3x3 grouped conv as 9 shifted slices + ONE batched
+            # matmul (n, rows, 9C) x (n, 9C, C): explicit layout, MXU-shaped
+            ws = jnp.stack([b.conv[lvl].weight for b in blocks])
+            y = _grouped_s2_conv_matmul(y, ws.astype(dt), n)
         y = _leaky(y + bl.astype(dt).reshape(1, 1, 1, -1))
     bsz = x.shape[0]
     y = y.reshape(bsz, n, -1)                       # 1x1 spatial: (B, n, C)
