@@ -85,52 +85,53 @@ def main():
     print(f"bench device: {dev}", file=sys.stderr)
 
     net = build_network(ARCH_OPT)
-    rng = jax.random.PRNGKey(0)
     size = ARCH_OPT["out_size"]
     mod = min(256, size)
     x_host = np.random.RandomState(0).randn(1, size, size, 3).astype(np.float32)
 
-    # init on CPU (fast — avoids a huge remote compile of the init program)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = net.init({"params": rng, "noise": rng},
-                             jnp.zeros((1, size, size, 3)), mod_size=mod)
-    params = jax.device_put(variables["params"], dev)
+    # init in a CPU-only SUBPROCESS (utils/host_init.py): with the axon
+    # plugin initialized in-process, eager CPU compiles are pathologically
+    # slow (PERF.md r4 environment note), so flax's eager init would hang.
+    from ood_gan_inversion_tpu.utils.host_init import cpu_init_params
+    t0 = time.time()
+    params_host = cpu_init_params(ARCH_OPT, (1, size, size, 3), seed=0,
+                                  mod_size=mod)
+    print(f"param init (subprocess/cache): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    params = jax.device_put(params_host, dev)
     x = jax.device_put(jnp.asarray(x_host), dev)
 
+    # The timed program returns a full-reduction scalar over every output
+    # (utils/timing.py:tree_sum): as of r4 the runtime's block_until_ready
+    # returns WITHOUT waiting (PERF.md r4 environment note), so windows are
+    # closed by fetching the last call's scalar, and the per-call host
+    # round-trip (~29 ms here) cancels in the slope protocol below. The
+    # reduction epilogue costs one pass over the outputs (<0.1 ms) and
+    # cannot be DCE'd through.
+    from ood_gan_inversion_tpu.utils.timing import (tree_sum,
+                                                    device_ms_per_call)
     fwd = jax.jit(
-        lambda p, xx, k: net.apply({"params": p}, xx, mod_size=mod,
-                                   rngs={"noise": k}),
+        lambda p, xx, k: tree_sum(net.apply({"params": p}, xx, mod_size=mod,
+                                            rngs={"noise": k})),
         device=dev)
 
     t0 = time.time()
     out = fwd(params, x, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    float(np.asarray(out))
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    warmup = 3
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "23"))
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
-    for i in range(warmup):
-        out = fwd(params, x, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
-    # best of several windows: timings through the remote-TPU tunnel drift
-    # +-2 ms with service contention (PERF.md); the minimum window mean is
-    # the least-contended estimate of the device time
-    window_means = []
-    for wi in range(windows):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = fwd(params, x, jax.random.PRNGKey(100 + wi * iters + i))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"window {wi}: {dt * 1000:.2f} ms/img", file=sys.stderr)
-        window_means.append(dt)
-    dt = min(window_means)  # least-contended estimate of the device time
-    mean_dt = float(np.mean(window_means))
-    std_dt = float(np.std(window_means))
+    keys = [jax.random.PRNGKey(100 + i) for i in range(32)]
+    args = [(params, x, k) for k in keys]
+    dt_ms, samples = device_ms_per_call(fwd, args, windows=windows,
+                                        pair=(3, iters),
+                                        verbose_label="batch-1")
+    dt = dt_ms / 1000.0  # median slope
+    mean_dt = float(np.mean(samples)) / 1000.0
+    std_dt = float(np.std(samples)) / 1000.0
     ips = 1.0 / dt
-    print(f"batch-1 (best of {windows}): {dt * 1000:.2f} ms/img "
+    print(f"batch-1 (median of {windows}): {dt * 1000:.2f} ms/img "
           f"(mean {mean_dt * 1000:.2f} +- {std_dt * 1000:.2f})",
           file=sys.stderr)
 
@@ -142,20 +143,15 @@ def main():
         xb = jax.device_put(jnp.asarray(np.repeat(x_host, bb, 0)), dev)
         t0 = time.time()
         out = fwd(params, xb, jax.random.PRNGKey(2))
-        jax.block_until_ready(out)
+        float(np.asarray(out))
         print(f"batch-{bb} compile+first: {time.time() - t0:.1f}s",
               file=sys.stderr)
-        biters = max(iters // bb, int(os.environ.get("BENCH_BATCH_ITERS",
-                                                      "3")))
-        b_means = []
-        for wi in range(windows):
-            t0 = time.perf_counter()
-            for i in range(biters):
-                out = fwd(params, xb, jax.random.PRNGKey(500 + wi * 50 + i))
-            jax.block_until_ready(out)
-            b_means.append((time.perf_counter() - t0) / biters)
-        batch_ips = bb / min(b_means)
-        print(f"batch-{bb}: {min(b_means) * 1000 / bb:.2f} ms/img "
+        bargs = [(params, xb, k) for k in keys]
+        bdt_ms, _ = device_ms_per_call(fwd, bargs, windows=windows,
+                                       pair=(2, 8),
+                                       verbose_label=f"batch-{bb}")
+        batch_ips = bb / (bdt_ms / 1000.0)
+        print(f"batch-{bb}: {bdt_ms / bb:.2f} ms/img "
               f"({batch_ips:.1f} imgs/s)", file=sys.stderr)
 
     print(json.dumps({

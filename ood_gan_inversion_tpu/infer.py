@@ -44,19 +44,20 @@ class InversionEngine:
         self.out_size = opt["network_g"].get("out_size", 1024)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if params is None:
-            # init on CPU when available (on-TPU init compile costs minutes)
-            try:
-                cpu = jax.devices("cpu")[0]
-            except RuntimeError:
-                cpu = None
             x = jnp.zeros((1, self.out_size, self.out_size, 3))
-            if cpu is not None:
-                with jax.default_device(cpu):
-                    params = self.net.init({"params": rng, "noise": rng}, x,
-                                           mod_size=256)["params"]
-            else:
+            if jax.default_backend() == "cpu":
+                # pure-CPU session (tests): in-process eager init is fast
                 params = self.net.init({"params": rng, "noise": rng}, x,
                                        mod_size=256)["params"]
+            else:
+                # accelerator session: init in a CPU-only subprocess
+                # (utils/host_init.py) — on-TPU init compiles for minutes,
+                # and with the axon plugin initialized even on-CPU eager
+                # compiles cost minutes (r4 environment note).
+                from .utils.host_init import cpu_init_params
+                params = cpu_init_params(
+                    g_opt, (1, self.out_size, self.out_size, 3), seed=0,
+                    mod_size=256)
         # pin params to the accelerator once (CPU-resident params would be
         # re-transferred through the device tunnel on every call)
         accel = [d for d in jax.devices() if d.platform != "cpu"]

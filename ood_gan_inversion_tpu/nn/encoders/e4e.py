@@ -31,9 +31,12 @@ PROGRESSIVE_INFERENCE = 18  # ProgressiveStage.Inference (psp_encoders.py:32)
 # same input map and the same architecture, so each group evaluates as ONE
 # wide conv at level 0 (shared input, out-channels concatenated) and one
 # fused op per deeper level — exact same dot products, one op per level
-# instead of one per block. OGI_E4E_GROUPED=0 restores the sequential loop
-# (A/B knob).
-_E4E_GROUPED = os.environ.get("OGI_E4E_GROUPED", "1") == "1"
+# instead of one per block. Recorded end-to-end A/B LOST at b=1 in BOTH
+# formulations (+1.2 ms grouped-conv, +0.9 ms tap-matmul) and was neutral
+# at b=8 (PERF.md r4 A/B matrix) — the style heads are not the b=1
+# bottleneck and the regrouping perturbs XLA's fusion — so the default is
+# OFF; OGI_E4E_GROUPED=1 enables for A/B.
+_E4E_GROUPED = os.environ.get("OGI_E4E_GROUPED", "0") == "1"
 # Deeper-level formulation: "matmul" extracts the 9 stride-2 taps as slices
 # and contracts one batched (n, rows, 9C) x (n, 9C, C) dot (explicit
 # layout, no grouped-conv lowering); "conv" uses feature_group_count=n

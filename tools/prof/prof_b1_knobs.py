@@ -38,10 +38,8 @@ ARCH = {
 net = build_network(dict(ARCH))
 rng = jax.random.PRNGKey(0)
 B = int(os.environ.get("B", "1"))
-with jax.default_device(cpu):
-    params = net.init({"params": rng, "noise": rng},
-                      jnp.zeros((1, 1024, 1024, 3)), mod_size=256)["params"]
-params = jax.device_put(params, tpu)
+from ood_gan_inversion_tpu.utils.host_init import cpu_init_params
+params = jax.device_put(cpu_init_params(ARCH, (1, 1024, 1024, 3)), tpu)
 
 CFGS = {
     "base":          {},

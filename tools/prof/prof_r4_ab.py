@@ -52,11 +52,8 @@ ITERS = int(os.environ.get("ITERS", "20"))
 
 t0 = time.time()
 net = build_network(OPT)
-rng = jax.random.PRNGKey(0)
-with jax.default_device(cpu):
-    variables = net.init({"params": rng, "noise": rng},
-                         jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
-params = jax.device_put(variables["params"], tpu)
+from ood_gan_inversion_tpu.utils.host_init import cpu_init_params
+params = jax.device_put(cpu_init_params(OPT, (1, 1024, 1024, 3)), tpu)
 print(f"init done in {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
 
 saved = {}

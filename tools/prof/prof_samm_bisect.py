@@ -121,35 +121,25 @@ def apply_variant(name, opt):
 def run(name):
     opt = apply_variant(name, OPT)
     net = build_network(opt)
-    rng = jax.random.PRNGKey(0)
-    with jax.default_device(cpu):
-        variables = net.init({"params": rng, "noise": rng},
-                             jnp.zeros((1, 1024, 1024, 3)), mod_size=256)
-    params = jax.device_put(variables["params"], tpu)
-    fwd = jax.jit(lambda p, xx, k: net.apply({"params": p}, xx, mod_size=256,
-                                             rngs={"noise": k}))
+    from ood_gan_inversion_tpu.utils.host_init import cpu_init_params
+    from ood_gan_inversion_tpu.utils.timing import (tree_sum,
+                                                    device_ms_per_call)
+    params = jax.device_put(cpu_init_params(opt, (1, 1024, 1024, 3)), tpu)
+    fwd = jax.jit(lambda p, xx, k: tree_sum(net.apply(
+        {"params": p}, xx, mod_size=256, rngs={"noise": k})))
+    keys = [jax.random.PRNGKey(100 + i) for i in range(16)]
     for b in BATCHES:
         x_host = np.random.RandomState(0).randn(b, 1024, 1024, 3).astype(
             np.float32)
         x = jax.device_put(jnp.asarray(x_host), tpu)
         t0 = time.time()
-        out = fwd(params, x, jax.random.PRNGKey(1))
-        jax.block_until_ready(out)
+        float(np.asarray(fwd(params, x, keys[0])))
         comp = time.time() - t0
-        iters = max(4, 16 // b)
-        for i in range(2):
-            out = fwd(params, x, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
-        best = 1e9
-        for w in range(3):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = fwd(params, x, jax.random.PRNGKey(100 + w * iters + i))
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        ms = best * 1000
+        n2 = max(5, 13 // b)
+        ms, _ = device_ms_per_call(fwd, [(params, x, k) for k in keys],
+                                   windows=3, pair=(2, n2))
         print(f"{name:10s} b={b}  {ms:8.1f} ms/step  {ms / b:7.2f} ms/img  "
-              f"(compile {comp:.0f}s)", file=sys.stderr)
+              f"(compile {comp:.0f}s)", file=sys.stderr, flush=True)
 
 
 for v in VARIANTS:
