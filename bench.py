@@ -4,8 +4,10 @@
 Protocol mirrors the reference's timing harness
 (/root/reference/run_ood_faceGAN_inversion.py:167-172, 187): batch-1 forward
 of the full OOD pipeline (E4E encode @256 -> SAMM-conditioned StyleGAN2
-decode to 1024 -> mask composite -> blend), wall-clock with
-block_until_ready (the cuda.synchronize analogue), mean over timed iters.
+decode to 1024 -> mask composite -> blend), wall-clock device time via the
+slope protocol in utils/timing.py (the r4 runtime's block_until_ready — the
+cuda.synchronize analogue — no longer blocks; see PERF.md r4 environment
+note), median over timed windows.
 
 Prints ONE JSON line: {"metric", "value" (inversions/sec/chip), "unit",
 "vs_baseline"}. The reference repo publishes no numbers (BASELINE.md), so

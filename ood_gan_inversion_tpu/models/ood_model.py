@@ -96,10 +96,13 @@ def _abstract_fill(leaf):
     1-D leaves get a small positive constant so variance-like params
     (BatchNorm2dEval.var) stay rsqrt-safe."""
     n = max(1, int(np.prod(leaf.shape)))
+    # all fills are built in NUMPY and device_put via jnp.asarray: per-leaf
+    # jnp.zeros/jnp.full would each compile a tiny XLA program, and in the
+    # r4 environment those cost ~0.5 s EACH with the axon plugin initialized
     if jnp.issubdtype(leaf.dtype, jnp.integer):
-        return jnp.zeros(leaf.shape, leaf.dtype)
+        return jnp.asarray(np.zeros(leaf.shape, np.int32), leaf.dtype)
     if len(leaf.shape) < 2:
-        return jnp.full(leaf.shape, 0.05, leaf.dtype)
+        return jnp.asarray(np.full(leaf.shape, 0.05, np.float32), leaf.dtype)
     fan_in = max(1, n // leaf.shape[-1])
     # golden-angle cosine: zero-mean, std ~0.707, no PRNG/compile cost
     vals = np.cos(np.arange(n, dtype=np.float64) * 2.39996323).astype(

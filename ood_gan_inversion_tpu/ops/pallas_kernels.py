@@ -51,6 +51,13 @@ _CONCAT1 = os.environ.get("OGI_SAMM_CONCAT1", "0") == "1"
 # conv3x3 4.24 ms vs bf16 3.59 at the (1,256,256,128)->256 scale, PERF.md);
 # all InstanceNorm statistics / affine coefficients stay fp32.
 _CONV_BF16 = os.environ.get("OGI_SAMM_CONV_BF16", "0") == "1"
+# OGI_SAMM_CONV_MATMUL=1: evaluate the body0 3x3 convs as ONE im2col
+# dot_general ((B*H*W, 9*Ci) x (9*Ci, Co)) instead of lax.conv — the exact
+# same dot products in a single MXU-shaped contraction. Targets the b=1
+# conv under-utilization (the standalone 2C=256@256px conv runs at ~11% of
+# MXU peak); costs a 9x materialization of the input taps in HBM
+# (~0.4 ms/conv of extra traffic at 256px). A/B knob, default per PERF.md.
+_CONV_MATMUL = os.environ.get("OGI_SAMM_CONV_MATMUL", "0") == "1"
 
 from .fused_act import fused_leaky_relu
 
@@ -777,7 +784,24 @@ def alignnet_body0_reference(s, t, g1, b1, k1, alpha, k2, g2, b2,
     return (inorm(y2, g2, b2) + h).astype(s.dtype)
 
 
+def _conv3x3_im2col(v, k):
+    """3x3 pad-1 conv as one im2col dot_general: rows = B*H*W, K = 9*Ci,
+    N = Co. Identical dot products to lax.conv (fp32 accumulation either
+    way); only the op shape presented to the MXU changes."""
+    b, h, w, ci = v.shape
+    co = k.shape[-1]
+    vp = jnp.pad(v, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    taps = [vp[:, i:i + h, j:j + w, :] for i in range(3) for j in range(3)]
+    p = jnp.concatenate(taps, axis=-1).reshape(b, h * w, 9 * ci)
+    km = k.astype(v.dtype).reshape(9 * ci, co)
+    out = lax.dot_general(p, km, (((2,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    return out.reshape(b, h, w, co).astype(v.dtype)
+
+
 def _an_conv(v, k):
+    if _CONV_MATMUL:
+        return _conv3x3_im2col(v, k)
     return lax.conv_general_dilated(
         v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -122,8 +122,11 @@ class BatchingServer:
                 continue
             self._stats["requests"] += n
             self._stats["batches"] += 1
-            image = np.asarray(out["image"].astype(jnp.float32))
-            mask = (np.asarray(out["mask"].astype(jnp.float32))
+            # fetch in the device dtype (bf16 serving config halves the
+            # bytes through the host link — at r4's measured ~12 MB/s fetch
+            # rate the transfer dominates reply latency) and upcast on host
+            image = np.asarray(out["image"]).astype(np.float32)
+            mask = (np.asarray(out["mask"]).astype(np.float32)
                     if out["mask"] is not None else None)
             for i, (_, fut) in enumerate(batch):
                 if not fut.done():

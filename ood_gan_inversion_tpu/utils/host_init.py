@@ -68,23 +68,66 @@ def cpu_init_params(arch_opt, shape=(1, 1024, 1024, 3), seed=0,
         return pickle.load(f)
 
 
+def cpu_init_model_state(model_opt, sample_shape, seed=0, cache=True):
+    """Init a full model TrainState (params + optimizer/EMA states) on CPU
+    in a subprocess; returns the numpy-leaf TrainState pytree. Used by the
+    train-path prof tools — in-process eager init_state hits the same
+    pathological per-op compile costs as net.init."""
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    key = _cache_key(model_opt, sample_shape, seed, {"kind": "model_state"})
+    path = os.path.join(_CACHE_DIR, key + ".pkl")
+    if cache and os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    spec = {"model_opt": model_opt, "shape": list(sample_shape),
+            "seed": seed, "kind": "model_state"}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(spec, f)
+        spec_path = f.name
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
+    out_path = path + ".tmp.%d" % os.getpid()
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "ood_gan_inversion_tpu.utils.host_init",
+             spec_path, out_path],
+            env=env, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+        os.replace(out_path, path)
+    finally:
+        os.unlink(spec_path)
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def _worker(spec_path, out_path):
     import numpy as np
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_platforms", "cpu")
-    from ood_gan_inversion_tpu.archs import build_network
 
     with open(spec_path) as f:
         spec = json.load(f)
-    net = build_network(dict(spec["arch_opt"]))
-    rng = jax.random.PRNGKey(spec["seed"])
-    kwargs = {}
-    if spec.get("mod_size") is not None:
-        kwargs["mod_size"] = spec["mod_size"]
-    variables = net.init({"params": rng, "noise": rng},
-                         jnp.zeros(tuple(spec["shape"])), **kwargs)
-    tree = jax.tree_util.tree_map(np.asarray, variables["params"])
+    if spec.get("kind") == "model_state":
+        from ood_gan_inversion_tpu.models import build_model
+        model = build_model(spec["model_opt"])
+        state = model.init_state(jax.random.PRNGKey(spec["seed"]),
+                                 tuple(spec["shape"]))
+        tree = jax.tree_util.tree_map(np.asarray, state)
+    else:
+        from ood_gan_inversion_tpu.archs import build_network
+        net = build_network(dict(spec["arch_opt"]))
+        rng = jax.random.PRNGKey(spec["seed"])
+        kwargs = {}
+        if spec.get("mod_size") is not None:
+            kwargs["mod_size"] = spec["mod_size"]
+        variables = net.init({"params": rng, "noise": rng},
+                             jnp.zeros(tuple(spec["shape"])), **kwargs)
+        tree = jax.tree_util.tree_map(np.asarray, variables["params"])
     with open(out_path, "wb") as f:
         pickle.dump(tree, f, protocol=4)
 

@@ -31,14 +31,20 @@ OPT = {
 }
 
 # (label, {module: {attr: value}}) — applied on top of the shipped defaults
+from ood_gan_inversion_tpu.ops import pallas_kernels as pk
 CONFIG_TABLE = {
     "base":          {},
     "tctx0":         {samm: {"_SAMM_TCTX": False}},
     "egroup0":       {e4e: {"_E4E_GROUPED": False}},
+    "egroup1":       {e4e: {"_E4E_GROUPED": True}},
     "tctx0_egroup0": {samm: {"_SAMM_TCTX": False},
                       e4e: {"_E4E_GROUPED": False}},
     "warpbf16_0":    {samm: {"_MXU_WARP_CAST_BF16": "0"}},
     "warpbf16_all":  {samm: {"_MXU_WARP_CAST_BF16": "all"}},
+    "convmm":        {pk: {"_CONV_MATMUL": True}},
+    "concat1":       {pk: {"_CONCAT1": True}},
+    "convmm_c1":     {pk: {"_CONV_MATMUL": True, "_CONCAT1": True}},
+    "mxuwarp_b1":    {samm: {"_MXU_WARP": "1", "_MXU_WARP_MIN": 256}},
     "sammfp32_off":  {},  # handled via common._SAMM_FP32 below
 }
 
@@ -75,28 +81,26 @@ def restore():
 xs = {b: jax.device_put(jnp.asarray(np.random.RandomState(0).randn(
     b, 1024, 1024, 3).astype(np.float32)), tpu) for b in BATCHES}
 
+from ood_gan_inversion_tpu.utils.timing import tree_sum, device_ms_per_call
+KEYS = [jax.random.PRNGKey(100 + i) for i in range(16)]
 for name in CONFIGS:
     apply_patches(CONFIG_TABLE[name])
-    fwd = jax.jit(lambda p, xx, k: net.apply(
-        {"params": p}, xx, mod_size=256, rngs={"noise": k}))
+
+    def fwd_f(p, xx, k):
+        return tree_sum(net.apply({"params": p}, xx, mod_size=256,
+                                  rngs={"noise": k}))
+    fwd_f.__name__ = "fwd_" + name
+    fwd = jax.jit(fwd_f)
     for b in BATCHES:
         x = xs[b]
         t0 = time.time()
-        out = fwd(params, x, jax.random.PRNGKey(1))
-        jax.block_until_ready(out)
+        float(np.asarray(fwd(params, x, KEYS[0])))
         comp = time.time() - t0
-        for i in range(3):
-            out = fwd(params, x, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
-        iters = max(4, ITERS // b)
-        best = 1e9
-        for w in range(3):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = fwd(params, x, jax.random.PRNGKey(100 + w * iters + i))
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        print(f"{name:16s} b={b}  {best * 1000 / b:8.2f} ms/img  "
-              f"({b / best:6.1f} imgs/s)  compile {comp:.0f}s", flush=True)
+        n2 = max(5, 13 // b)
+        ms, _ = device_ms_per_call(fwd, [(params, x, k) for k in KEYS],
+                                   windows=3, pair=(2, n2))
+        print(f"{name:16s} b={b}  {ms / b:8.2f} ms/img  "
+              f"({b * 1000.0 / ms:6.1f} imgs/s)  compile {comp:.0f}s",
+              flush=True)
     restore()
 print("ab done", flush=True)

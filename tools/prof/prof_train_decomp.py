@@ -78,11 +78,11 @@ def make_opt(variant):
 
 
 def run(variant):
-    model = build_model(make_opt(variant))
-    rng = jax.random.PRNGKey(0)
-    with jax.default_device(cpu):
-        state = model.init_state(rng, (BATCH, SIZE, SIZE, 3))
-    state = jax.device_put(state, tpu)
+    from ood_gan_inversion_tpu.utils.host_init import cpu_init_model_state
+    opt = make_opt(variant)
+    model = build_model(opt)
+    state0 = jax.device_put(
+        cpu_init_model_state(opt, (BATCH, SIZE, SIZE, 3), seed=0), tpu)
     x = np.random.RandomState(0).randn(
         BATCH, 1, SIZE, SIZE, 3).astype(np.float32) * 0.5
     batch = {
@@ -91,29 +91,37 @@ def run(variant):
         "lq_size": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu),
         "deg_type": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu),
     }
+
+    def chain(n, seed0):
+        """Run n dependent steps; force completion by fetching one logged
+        scalar of the LAST step (state threading makes the chain truly
+        sequential, so the fetch is a full barrier; r4: block_until_ready
+        does not block)."""
+        state = state0
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, logs = model.train_step(state, batch,
+                                           jax.random.PRNGKey(seed0 + i), 5)
+        float(np.asarray(next(iter(logs.values()))))
+        return time.perf_counter() - t0
+
     try:
         t0 = time.time()
-        state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
-        jax.block_until_ready(state.params_g_train)
+        chain(1, 1)
         comp = time.time() - t0
-        for i in (6, 7):
-            state, logs = model.train_step(state, batch,
-                                           jax.random.PRNGKey(i), 5)
-        jax.block_until_ready(state.params_g_train)
-        iters = 8
-        best = 1e9
-        for w in range(2):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                state, logs = model.train_step(
-                    state, batch, jax.random.PRNGKey(10 + w * iters + i), 5)
-            jax.block_until_ready(state.params_g_train)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        print(f"{variant:10s} {best * 1000:8.1f} ms/step (compile {comp:.0f}s)",
-              file=sys.stderr)
+        chain(2, 2)  # throwaway
+        samples = []
+        for w in range(3):
+            t1 = chain(1, 20 + w)
+            t2 = chain(5, 40 + w)
+            samples.append((t2 - t1) * 1000.0 / 4)
+        ms = float(np.median(samples))
+        print(f"{variant:10s} {ms:8.1f} ms/step (compile {comp:.0f}s; "
+              f"windows {['%.0f' % s for s in samples]})",
+              file=sys.stderr, flush=True)
     except Exception as e:
         print(f"{variant:10s} FAILED: {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+              f"{str(e).splitlines()[0][:120]}", file=sys.stderr, flush=True)
 
 
 for v in VARIANTS:

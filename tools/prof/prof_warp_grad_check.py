@@ -2,18 +2,20 @@
 
 Under OGI_MXU_WARP=auto at batch >= 2 the SAMM warp forward runs the Pallas
 MXU kernel while its custom_vjp backward recomputes the XLA reference
-formulation — gradients are for a numerically-close but not identical
+formulation -- gradients are for a numerically-close but not identical
 function, and the CPU golden train-step parity can't see it (the gate is
 off on CPU). This runs ONE full train step (E4E_Face recipe, 1024px, b=2,
-plain phase) from a fixed state/rng and prints every logged loss plus
-update-norm fingerprints; run it twice (OGI_MXU_WARP=auto / =0) and compare:
+plain phase) from a fixed state/rng TWICE in one process -- MXU warp auto
+vs forced off (two build_model instances so each traces fresh) -- and
+prints every logged loss plus the relative update-norm delta.
 
-  OGI_MXU_WARP=auto python tools/prof/prof_warp_grad_check.py
-  OGI_MXU_WARP=0    python tools/prof/prof_warp_grad_check.py
+State init: cpu_init_model_state subprocess (r4 environment: in-process
+eager init hangs). Completion barriers are scalar fetches (r4:
+block_until_ready does not block).
 
 Expected deltas: forward drift <=0.3% rel on the warped feature
 (tests/test_pallas_warp.py), so losses should agree to ~1e-3 rel and the
-update fingerprints to ~1e-2 rel (Adam normalizes per-param scale).
+update norms to ~1e-2 rel (Adam normalizes per-param scale).
 """
 import os, sys, time
 sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
@@ -23,9 +25,10 @@ import yaml
 import jax, jax.numpy as jnp
 
 from ood_gan_inversion_tpu.models import build_model
+from ood_gan_inversion_tpu.nn import samm
+from ood_gan_inversion_tpu.utils.host_init import cpu_init_model_state
 
 tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
-cpu = jax.devices("cpu")[0]
 ROOT = __file__.rsplit("/tools/", 1)[0]
 with open(f"{ROOT}/options/train/E4E_Face.yml") as f:
     FULL = yaml.safe_load(f)
@@ -43,13 +46,9 @@ opt["network_g"]["dtype"] = "bfloat16"
 opt["train"]["id_opt"].pop("ckpt", None)
 opt["train"]["fused_step"] = True
 
-model = build_model(opt)
-rng = jax.random.PRNGKey(0)
-with jax.default_device(cpu):
-    state = model.init_state(rng, (BATCH, SIZE, SIZE, 3))
-state = jax.device_put(state, tpu)
-old_g = jax.tree_util.tree_map(jnp.asarray, state.params_g_train)
-old_d = jax.tree_util.tree_map(jnp.asarray, state.params_d)
+state_host = cpu_init_model_state(opt, (BATCH, SIZE, SIZE, 3), seed=0)
+state = jax.device_put(state_host, tpu)
+print("state ready", file=sys.stderr, flush=True)
 
 x = np.random.RandomState(0).randn(BATCH, 1, SIZE, SIZE, 3).astype(
     np.float32) * 0.5
@@ -58,21 +57,39 @@ batch = {"gt": jax.device_put(jnp.asarray(x), tpu),
          "lq_size": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu),
          "deg_type": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu)}
 
-t0 = time.time()
-new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
-jax.block_until_ready(new_state.params_g_train)
-print(f"step done (compile+run {time.time() - t0:.0f}s); "
-      f"OGI_MXU_WARP={os.environ.get('OGI_MXU_WARP', 'auto')}")
+
+def run(mode):
+    samm._MXU_WARP = mode
+    model = build_model(opt)          # fresh jit cache per mode
+    t0 = time.time()
+    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
+    logs = {k: float(np.asarray(v)) for k, v in logs.items()}
+    print(f"mode={mode}: step done (compile+run {time.time() - t0:.0f}s)",
+          flush=True)
+    return new_state, logs
 
 
-def tree_norm(a, b):
-    sq = sum(float(jnp.sum((jnp.asarray(x) - jnp.asarray(y)).astype(
-        jnp.float32) ** 2)) for x, y in zip(jax.tree_util.tree_leaves(a),
-                                            jax.tree_util.tree_leaves(b)))
-    return sq ** 0.5
+res = {}
+for mode in ("auto", "0"):
+    res[mode] = run(mode)
 
+diffnorm = jax.jit(lambda a, b: (
+    sum(jnp.sum((jnp.asarray(p) - jnp.asarray(q)).astype(jnp.float32) ** 2)
+        for p, q in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b))) ** 0.5,
+    sum(jnp.sum(jnp.asarray(p).astype(jnp.float32) ** 2)
+        for p in jax.tree_util.tree_leaves(a)) ** 0.5))
 
-for k in sorted(logs):
-    print(f"  {k:16s} {float(logs[k]):.6f}")
-print(f"  upd_norm_g       {tree_norm(new_state.params_g_train, old_g):.8f}")
-print(f"  upd_norm_d       {tree_norm(new_state.params_d, old_d):.8f}")
+sa, la = res["auto"]
+s0, l0 = res["0"]
+print(f"{'loss':16s} {'auto':>12s} {'off':>12s} {'rel delta':>10s}")
+for k in sorted(la):
+    a, b = la[k], l0[k]
+    rel = abs(a - b) / max(abs(a), abs(b), 1e-9)
+    print(f"{k:16s} {a:12.6f} {b:12.6f} {rel:10.2e}", flush=True)
+for name, pa, p0 in (("params_g_train", sa.params_g_train, s0.params_g_train),
+                     ("params_d", sa.params_d, s0.params_d)):
+    d, n = diffnorm(pa, p0)
+    d, n = float(np.asarray(d)), float(np.asarray(n))
+    print(f"update-delta {name}: |auto-off|={d:.6e}  |auto|={n:.6e}  "
+          f"rel={d / max(n, 1e-12):.2e}", flush=True)
