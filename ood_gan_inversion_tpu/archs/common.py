@@ -48,14 +48,22 @@ def cond_layers_for(mod_size: int, n_feats: int = 4):
 
 
 def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
-                       feature_scale: float = 1.0, noise=None):
+                       feature_scale: float = 1.0, noise=None,
+                       train: bool = False):
     """SAMM-conditioned StyleGAN2 decode. feats_c: 4 adapted encoder features
     [256px, 128px, 64px, 32px]-res order (i.e. self.feats in the reference).
     features_in: optional {layer_idx: tensor} content injection
     (FeatureStyle; reference model.py:541-546). noise: optional per-layer
     noise list (generator indexing: noise[0] for conv1, noise[1+2*idx] /
     noise[2+2*idx] per pair — same contract as Generator.__call__; None
-    entries draw from the 'noise' rng). Returns (image, aligns)."""
+    entries draw from the 'noise' rng). Returns (image, aligns).
+
+    train: wrap each stage in nn.remat ONLY when True (the model's train
+    phases pass it). At inference remat is pure overhead — the checkpoint
+    boundaries materialize + copy every stage input/output (measured r4:
+    ~3.4 GB of the b=1 pipeline's 6.3 GB HBM write traffic was remat-
+    boundary fusions/copies at this call site) and fence cross-stage
+    fusion. Values are identical either way."""
     gen = arch.generator
     b = lats.shape[0]
     cond_layers = cond_layers_for(mod_size)
@@ -141,7 +149,7 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
         return out, skip, align
 
     stage_fn = (nn.remat(stage, static_argnums=(10, 11, 12))
-                if _DECODE_REMAT else stage)
+                if (_DECODE_REMAT and train) else stage)
 
     out = gen.const_input(b, lats.dtype)
     out = gen.conv1(out, lats[:, 0], noise=noise[0])

@@ -131,22 +131,25 @@ class OODFaceGANE4E(nn.Module):
                    if self.enable_modulation else None)
         return lats, feats_c
 
-    def decode_samm(self, lats, feats_c, x, mod_size: int = 256, noise=None):
-        """(W+, adapted feats) -> blended output dict."""
+    def decode_samm(self, lats, feats_c, x, mod_size: int = 256, noise=None,
+                    train: bool = False):
+        """(W+, adapted feats) -> blended output dict. train: enable the
+        per-stage remat (training only; see conditioned_decode)."""
         x = x.astype(self.dtype)
         if not self.enable_modulation or not cond_layers_for(mod_size):
             image = self.generator(lats, noise=noise)
             return {"image": image, "lats": lats, "aligns": {}, "mask": None,
                     "gen_image": image}
         gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size,
-                                               noise=noise)
+                                               noise=noise, train=train)
         return blend_and_pack(self, x, gen_image, lats, aligns)
 
     def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
                  stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True,
-                 noise=None):
+                 noise=None, train: bool = False):
         """x: (B, H, W, 3) in [-1, 1]. Returns dict(image, lats, aligns, mask,
         gen_image). aligns maps SAMM index (1=32px .. 4=256px) to
         (B, h, w, 3) [dx, dy, alpha] plus key 1024 -> composited 3ch mask."""
         lats, feats_c = self.encode(x, truncation, stage, freeze_encoder)
-        return self.decode_samm(lats, feats_c, x, mod_size, noise=noise)
+        return self.decode_samm(lats, feats_c, x, mod_size, noise=noise,
+                                train=train)

@@ -105,7 +105,8 @@ class OODFaceGANFeatureStyle(nn.Module):
                    if self.enable_modulation else None)
         return lats, (feats_c, content)
 
-    def decode_samm(self, lats, feats_and_content, x, mod_size: int = 256):
+    def decode_samm(self, lats, feats_and_content, x, mod_size: int = 256,
+                    train: bool = False):
         feats_c, content = feats_and_content
         x = x.astype(self.dtype)
         # layer 5, scale 1.0 per reference L285-287 — gated, see inject_content
@@ -114,15 +115,17 @@ class OODFaceGANFeatureStyle(nn.Module):
             # plain decode still honors the content injection
             gen_image, _ = conditioned_decode(self, lats, [None] * 4, 0,
                                               features_in=features_in,
-                                              feature_scale=self.feature_scale)
+                                              feature_scale=self.feature_scale,
+                                              train=train)
             return {"image": gen_image, "lats": lats, "aligns": {},
                     "mask": None, "gen_image": gen_image}
         gen_image, aligns = conditioned_decode(
             self, lats, feats_c, mod_size, features_in=features_in,
-            feature_scale=self.feature_scale)
+            feature_scale=self.feature_scale, train=train)
         return blend_and_pack(self, x, gen_image, lats, aligns)
 
     def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = 18, freeze_encoder: bool = True):
+                 stage: int = 18, freeze_encoder: bool = True,
+                 train: bool = False):
         lats, fc = self.encode(x, truncation, stage, freeze_encoder)
-        return self.decode_samm(lats, fc, x, mod_size)
+        return self.decode_samm(lats, fc, x, mod_size, train=train)

@@ -115,16 +115,19 @@ class OODFaceGANReStyle(nn.Module):
                    if self.enable_modulation else None)
         return lats, feats_c
 
-    def decode_samm(self, lats, feats_c, x, mod_size: int = 256):
+    def decode_samm(self, lats, feats_c, x, mod_size: int = 256,
+                    train: bool = False):
         x = x.astype(self.dtype)
         if not self.enable_modulation or not cond_layers_for(mod_size):
             image = self.generator(lats)
             return {"image": image, "lats": lats, "aligns": {}, "mask": None,
                     "gen_image": image}
-        gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size)
+        gen_image, aligns = conditioned_decode(self, lats, feats_c, mod_size,
+                                               train=train)
         return blend_and_pack(self, x, gen_image, lats, aligns)
 
     def __call__(self, x, mod_size: int = 256, truncation: float = 1.0,
-                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True):
+                 stage: int = PROGRESSIVE_INFERENCE, freeze_encoder: bool = True,
+                 train: bool = False):
         lats, feats_c = self.encode(x, truncation, stage, freeze_encoder)
-        return self.decode_samm(lats, feats_c, x, mod_size)
+        return self.decode_samm(lats, feats_c, x, mod_size, train=train)

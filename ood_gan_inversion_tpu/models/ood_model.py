@@ -469,9 +469,13 @@ class OODFaceGANModel:
             progressive_mod_size=self.progressive_mod_size,
             progressive_stage_steps=self.progressive_stage_steps)
 
-    def _forward(self, params_g, x, rng, mod_size, stage):
+    def _forward(self, params_g, x, rng, mod_size, stage, train=True):
+        """train=True (default: every train phase differentiates through
+        this) enables the decode-stage remat; eval/infer callers pass False
+        — at inference remat is pure HBM-copy overhead (archs/common.py)."""
         return self.net_g.apply({"params": params_g}, x, mod_size=mod_size,
-                                stage=stage, rngs={"noise": rng})
+                                stage=stage, train=train,
+                                rngs={"noise": rng})
 
     # encode/decode halves of the forward, used by the path-reg phase (which
     # needs a lats-vjp across the decode). Instance hooks like _forward so
@@ -485,7 +489,7 @@ class OODFaceGANModel:
         net_t = type(self.net_g)
         return self.net_g.apply({"params": params_g}, lats, feats_c, x,
                                 mod_size, method=net_t.decode_samm,
-                                rngs={"noise": rng})
+                                train=True, rngs={"noise": rng})
 
     def _path_cot(self, rng, shape, dtype):
         # the reference's randn_like(fake)/sqrt(h*w) cotangent
@@ -507,7 +511,10 @@ class OODFaceGANModel:
         gt = x
         rng_d = jax.random.fold_in(rng, 1)
         params_g_all = merge_params(state.params_g_train, state.params_g_frozen)
-        out_d = self._forward(params_g_all, x, rng_d, mod_size, stage)
+        # D phase never differentiates through the G decode (fake is
+        # stop_gradient'ed), so the stage remat would be pure overhead
+        out_d = self._forward(params_g_all, x, rng_d, mod_size, stage,
+                              train=False)
         fake = jax.lax.stop_gradient(out_d["image"])
 
         def d_loss_fn(pd):
@@ -947,5 +954,5 @@ class OODFaceGANModel:
         key = ("infer", mod_size, stage, ema)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(lambda p, xx, kk: self._forward(
-                p, xx, kk, mod_size, stage))
+                p, xx, kk, mod_size, stage, train=False))
         return self._jit_cache[key](self.eval_params(state, ema), x, rng)

@@ -42,6 +42,7 @@ CONFIG_TABLE = {
     "warpbf16_0":    {samm: {"_MXU_WARP_CAST_BF16": "0"}},
     "warpbf16_all":  {samm: {"_MXU_WARP_CAST_BF16": "all"}},
     "convmm":        {pk: {"_CONV_MATMUL": True}},
+    "convbf16":      {pk: {"_CONV_BF16": True}},
     "concat1":       {pk: {"_CONCAT1": True}},
     "convmm_c1":     {pk: {"_CONV_MATMUL": True, "_CONCAT1": True}},
     "mxuwarp_b1":    {samm: {"_MXU_WARP": "1", "_MXU_WARP_MIN": 256}},

@@ -39,6 +39,11 @@ from ood_gan_inversion_tpu.nn import layers as _layers
 _orig_in_call = _layers.InstanceNorm2d.__call__
 
 
+restore_extra = []
+_orig_alg_body0 = samm.algebraic_alignnet_body0
+_orig_tctx_fn = samm.alignnet_t_context
+
+
 def restore():
     samm._XavierBottleneckIR.__call__ = _orig_btn_call
     samm.fir_blur = _orig_blur
@@ -47,7 +52,11 @@ def restore():
     samm.SPMWarp._upsample_add = _orig_upadd
     samm.AlignNet.__call__ = _orig_alignnet_call
     samm.SPMWarp.__call__ = _orig_spm_call
+    samm.algebraic_alignnet_body0 = _orig_alg_body0
+    samm.alignnet_t_context = _orig_tctx_fn
     _layers.InstanceNorm2d.__call__ = _orig_in_call
+    while restore_extra:
+        restore_extra.pop()()
 
 
 _orig_alignnet_call = samm.AlignNet.__call__
@@ -89,11 +98,30 @@ def apply_variant(name, opt):
     if name == "cycle1":
         opt = dict(opt, cycle_align=1)
     elif name == "nobody0":
+        # NOTE: dead on the DEFAULT path — OGI_SAMM_ALGEBRAIC=1 routes body0
+        # through fused_entry -> algebraic_alignnet_body0, not __call__
+        # (r4 finding: this variant measured +0.1 ms). Use nobody0alg.
         def btn(self, x):
             if self.in_ch == self.depth:
                 return x  # body0 (2C->2C) becomes identity
             return _orig_btn_call(self, x)
         samm._XavierBottleneckIR.__call__ = btn
+    elif name == "nobody0alg":
+        # stub the WHOLE algebraic body0 (moments+coeffs+convs+norm2+short-
+        # cut) with a shape-correct concat — the proper r4 body0 ablation
+        samm.alignnet_t_context = lambda *a, **k: None
+        samm.algebraic_alignnet_body0 = (
+            lambda s, t, g1, b1, k1, alpha, k2, g2, b2,
+            diff_f_and_g=True, eps=1e-5, t_ctx=None:
+            jnp.concatenate([s - t, t], axis=-1))
+    elif name == "noconv":
+        # zero out ONLY the three body0 convs inside the algebraic path
+        # (moments/coeffs/norm2 stay): isolates the MXU conv cost
+        from ood_gan_inversion_tpu.ops import pallas_kernels as pk
+        pk_orig = pk._an_conv
+        pk._an_conv = lambda v, k: jnp.zeros(
+            v.shape[:3] + (k.shape[-1],), v.dtype)
+        restore_extra.append(lambda: setattr(pk, "_an_conv", pk_orig))
     elif name == "nobody1":
         def btn(self, x):
             if self.in_ch != self.depth:
