@@ -25,14 +25,22 @@ _DECODE_REMAT = os.environ.get("OGI_DECODE_REMAT", "1") == "1"
 
 # Keep SAMM in fp32 when the arch runs bf16 (see the dtype-boundary note in
 # conditioned_decode); OGI_SAMM_FP32=0 lets SAMM follow the arch dtype.
+# TRAIN path only — the gradient path keeps the conservative fp32 island.
 _SAMM_FP32 = os.environ.get("OGI_SAMM_FP32", "1") == "1"
+# INFERENCE island policy, decided separately (r4): with the algebraic
+# body0 + t-ctx formulation the fp32 island now LOSES its end-to-end A/B —
+# bf16 SAMM serves at 22.84 vs 25.37 ms/img b=1 (PERF.md r4 battery 3; the
+# r2 'island wins' verdict predated the algebraic rewrite and went stale).
+# Default 0 = SAMM follows the arch dtype at inference; OGI_SAMM_FP32_INFER=1
+# restores the fp32 island for strict-precision serving.
+_SAMM_FP32_INFER = os.environ.get("OGI_SAMM_FP32_INFER", "0") == "1"
 # Per-scale island experiment (round 2): STANDALONE slope-protocol profiling
 # (tools/prof/prof_samm_scales2.py) showed bf16 winning at the large SAMM
 # scales (256px: 5.25 vs 6.30 ms) — but the end-to-end A/B REGRESSED
 # (28.94 vs 25.78 ms/img with bf16 SAMM at 128/256px): in-pipeline the
 # boundary casts and lost fusion outweigh the standalone win, the same
-# standalone-vs-fused reversal round 1 hit three times (PERF.md). Default
-# therefore keeps the full fp32 island; the cutoff stays as a knob.
+# standalone-vs-fused reversal round 1 hit three times (PERF.md). The
+# cutoff stays as a knob for both policies.
 _SAMM_FP32_MAX_RES = int(os.environ.get("OGI_SAMM_FP32_MAX_RES", "1024"))
 
 
@@ -104,7 +112,8 @@ def conditioned_decode(arch, lats, feats_c, mod_size: int, features_in=None,
             # (gathers + InstanceNorm casts, PERF.md decomposition), so a
             # bf16 arch casts up at the SAMM boundary and back after.
             dt0 = out_c.dtype
-            if (_SAMM_FP32 and dt0 == jnp.bfloat16
+            if ((_SAMM_FP32 if train else _SAMM_FP32_INFER)
+                    and dt0 == jnp.bfloat16
                     and out_c.shape[1] <= _SAMM_FP32_MAX_RES):
                 aligned_feat, align = mod(feat.astype(jnp.float32),
                                           lats[:, i].astype(jnp.float32),

@@ -306,8 +306,14 @@ class SPMWarp(nn.Module):
         """source: encoder feature; target: generator feature (both NHWC).
         Returns (aligned_target, align[dx,dy,alpha])."""
         h, w = source.shape[1], source.shape[2]
-        lin_y = jnp.linspace(-1.0, 1.0, h, dtype=source.dtype)
-        lin_x = jnp.linspace(-1.0, 1.0, w, dtype=source.dtype)
+        # grid/position math stays fp32 even when the SAMM island runs bf16
+        # (OGI_SAMM_FP32_INFER=0): near |x|~1 a bf16 grid quantizes sample
+        # positions to ~half a pixel step at 256px (8-bit mantissa), which
+        # is visible warping error; the flow values themselves (|dx| <=
+        # scale) keep enough relative precision in bf16.
+        gdt = jnp.float32 if source.dtype == jnp.bfloat16 else source.dtype
+        lin_y = jnp.linspace(-1.0, 1.0, h, dtype=gdt)
+        lin_x = jnp.linspace(-1.0, 1.0, w, dtype=gdt)
         base_x = jnp.broadcast_to(lin_x[None, :], (h, w))
         base_y = jnp.broadcast_to(lin_y[:, None], (h, w))
 
@@ -330,7 +336,8 @@ class SPMWarp(nn.Module):
             accum = align if accum is None else self._add(accum, align)
             if k == self.cycle_align - 1 and aligned_coarse is not None:
                 accum = self._upsample_add(aligned_coarse, accum)
-            dx, dy, alpha = accum[..., 0], accum[..., 1], accum[..., 2:3]
+            dx, dy, alpha = (accum[..., 0].astype(gdt),
+                             accum[..., 1].astype(gdt), accum[..., 2:3])
             grid = jnp.stack([base_x[None] + dx, base_y[None] + dy], axis=-1)
             p = max_disp_px(self.scale, w)
             c = target.shape[-1]

@@ -194,3 +194,51 @@ def test_restyle_encoder_grouped_matches_sequential(monkeypatch):
     w_s, _ = enc.apply(params, x)
     np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_s),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inference_island_matches_fp32_island():
+    """r4 default flip (OGI_SAMM_FP32_INFER=0): at inference a bf16 arch
+    runs SAMM in bf16 (PERF.md r4 battery 3: 22.8 vs 25.4 ms/img). The
+    fp32 island stays available (flag) and for training. This pins the
+    numeric drift of the bf16 island against the fp32-island formulation,
+    with the warp grid kept fp32 either way (nn/samm.py gdt guard)."""
+    from ood_gan_inversion_tpu.archs import common as arch_common
+
+    arch = tiny_arch(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+    noise_key = jax.random.PRNGKey(1)
+
+    orig = arch_common._SAMM_FP32_INFER
+    try:
+        arch_common._SAMM_FP32_INFER = True
+        ref = arch.apply(params, x, mod_size=64, rngs={"noise": noise_key})
+        arch_common._SAMM_FP32_INFER = False
+        out = arch.apply(params, x, mod_size=64, rngs={"noise": noise_key})
+    finally:
+        arch_common._SAMM_FP32_INFER = orig
+
+    a = np.asarray(ref["image"], np.float32)
+    b = np.asarray(out["image"], np.float32)
+    rng_span = float(a.max() - a.min()) or 1.0
+    rel = float(np.max(np.abs(a - b))) / rng_span
+    assert rel < 0.02, rel
+    am = np.asarray(ref["mask"], np.float32)
+    bm = np.asarray(out["mask"], np.float32)
+    assert float(np.max(np.abs(am - bm))) < 0.02
+
+
+def test_train_flag_does_not_change_values():
+    """conditioned_decode(train=True) only wraps stages in remat — values
+    must be identical to the inference path."""
+    arch = tiny_arch()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    params = arch.init({"params": rng, "noise": rng}, x, mod_size=64)
+    k = jax.random.PRNGKey(1)
+    o_inf = arch.apply(params, x, mod_size=64, rngs={"noise": k})
+    o_tr = arch.apply(params, x, mod_size=64, train=True,
+                      rngs={"noise": k})
+    np.testing.assert_allclose(np.asarray(o_inf["image"]),
+                               np.asarray(o_tr["image"]), rtol=0, atol=1e-6)

@@ -51,6 +51,9 @@ CONFIG_TABLE = {
 
 from ood_gan_inversion_tpu.archs import common as arch_common
 CONFIG_TABLE["sammfp32_off"] = {arch_common: {"_SAMM_FP32": False}}
+# after the r4 default flip (OGI_SAMM_FP32_INFER=0), "base" is already the
+# bf16 inference island; this restores the old fp32 island for reference
+CONFIG_TABLE["fp32island_on"] = {arch_common: {"_SAMM_FP32_INFER": True}}
 
 CONFIGS = os.environ.get(
     "CONFIGS", "base,tctx0,egroup0,tctx0_egroup0").split(",")
