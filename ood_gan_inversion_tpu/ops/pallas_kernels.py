@@ -835,7 +835,12 @@ def alignnet_t_context(t, g1, b1, k1, eps: float = 1e-5):
     b2h = (-et * inv_t * r2 * gb + bb)[:, None, None, :]
     x1b = (ct_ * t32 + b2h).astype(cdt)
     zb = _an_conv(x1b, k1[:, :, c:])
-    tn = (t32 - et[:, None, None, :]) * inv_t[:, None, None, :]
+    # store the normalized t̂ in the WORK dtype (t.dtype): under the bf16
+    # island a fp32 tn is a lossless upcast of bf16-quantized data held in
+    # HBM across the align cycles — double the bytes for zero information
+    # (r4 HLO traffic audit). fp32 pipelines are unchanged (no-op cast).
+    tn = ((t32 - et[:, None, None, :])
+          * inv_t[:, None, None, :]).astype(t.dtype)
     return {"et": et, "vt": vt, "inv_t": inv_t, "tn": tn, "zb": zb}
 
 
@@ -880,13 +885,19 @@ def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
         x1a = (as_[:, None, None, :] * s32 + at_[:, None, None, :] * t32
                + b1h[:, None, None, :]).astype(cdt)
         z = conv(x1a, k1[:, :, :c]) + t_ctx["zb"]
-        sn = (s32 - es[:, None, None, :]) * inv_s[:, None, None, :]
+        # shortcut halves in the WORK dtype: the final output is cast to
+        # s.dtype anyway, so fp32 h tensors are wasted HBM bytes under the
+        # bf16 island (r4 traffic audit: the fp32 h concat + its layout
+        # copy alone wrote ~0.5 GB/img)
+        sn = ((s32 - es[:, None, None, :])
+              * inv_s[:, None, None, :]).astype(s.dtype)
         h1 = sn - t_ctx["tn"] if diff_f_and_g else sn
         h2 = t_ctx["tn"]
     else:
         s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
         coeffs, h1, h2 = _alignnet_coeffs(s32, t32, g1, b1, diff_f_and_g,
                                           eps)
+        h1, h2 = h1.astype(s.dtype), h2.astype(s.dtype)
         as_, at_, b1h, ct_, b2h = [coeffs[:, i][:, None, None, :]
                                    for i in range(5)]
         x1a = (as_ * s32 + at_ * t32 + b1h).astype(cdt)
@@ -901,14 +912,19 @@ def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
         else:
             z = conv(x1a, k1[:, :, :c]) + conv(x1b, k1[:, :, c:])
     z = jnp.where(z >= 0, z, alpha.reshape(1, 1, 1, -1).astype(z.dtype) * z)
-    y2 = conv(z, k2).astype(jnp.float32)
-    mu2 = jnp.mean(y2, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(y2 * y2, axis=(1, 2), keepdims=True)
+    # y2 leaves the conv already quantized to the work dtype; materializing
+    # a fp32 upcast of it (the pre-r4 code) adds zero information. The IN
+    # statistics still accumulate in fp32 — the casts below fuse into the
+    # reductions/epilogue instead of writing a fp32 copy of y2 to HBM.
+    y2 = conv(z, k2)
+    y2f = y2.astype(jnp.float32)
+    mu2 = jnp.mean(y2f, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(y2f * y2f, axis=(1, 2), keepdims=True)
     v2 = jnp.maximum(m2 - mu2 * mu2, 0.0)
     kk = jax.lax.rsqrt(v2 + eps) * g2.astype(jnp.float32)
     bb = b2.astype(jnp.float32) - mu2 * kk
     h = jnp.concatenate([h1, h2], axis=-1)
-    return (y2 * kk + bb + h).astype(s.dtype)
+    return ((y2f * kk + bb).astype(s.dtype) + h).astype(s.dtype)
 
 
 def _alignnet_pallas(s, t, coeffs, k1, alpha, k2, band_a: int, band_b: int,
