@@ -87,6 +87,34 @@ def _grid_sample_gather4_flat(x, grid):
             tap(y1, x0) * w10 + tap(y1, x1) * w11)
 
 
+def _grid_sample_gather4_packed(x, grid):
+    """gather4 with CHANNEL-PAIR PACKING: XLA's TPU gather is element-rate-
+    capped (~8 elem/cycle, PERF.md r2 — insensitive to operand dtype), so
+    for 2-byte dtypes with even C the taps are fetched as c/2 uint32 lanes
+    (pairs of channels bitcast together) — HALF the gathered elements, then
+    bitcast back before the bilinear blend. Pure bit movement: results are
+    exactly the plain gather4's."""
+    n, h, w, c = x.shape
+    gh, gw = grid.shape[1], grid.shape[2]
+    x0, y0, wx, wy = _coords(x, grid)
+    x1, y1 = x0 + 1, y0 + 1
+    cp = c // 2
+    src = lax.bitcast_convert_type(
+        x.reshape(n, h * w, cp, 2), jnp.uint32)       # (n, h*w, cp)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        vals = jnp.take_along_axis(src, flat.reshape(n, gh * gw, 1), axis=1)
+        vals = lax.bitcast_convert_type(
+            vals.reshape(n, gh, gw, cp), x.dtype).reshape(n, gh, gw, c)
+        return vals * valid[..., None].astype(x.dtype)
+
+    w00, w01, w10, w11 = [v[..., None] for v in _weights(wx, wy)]
+    return (tap(y0, x0) * w00 + tap(y0, x1) * w01 +
+            tap(y1, x0) * w10 + tap(y1, x1) * w11)
+
+
 def _grid_sample_patch(x, grid):
     """One gather of the (2, 2, C) support per output pixel from a 1-padded
     operand; per-tap validity masks reproduce the zero padding for taps the
@@ -142,4 +170,10 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         # halve the gather bytes: fetch taps in bf16, blend in x.dtype
         out = _grid_sample_gather4(x.astype(jnp.bfloat16), grid)
         return out.astype(x.dtype)
+    if (_MODE in ("gather4", "gather4packed")
+            and jnp.dtype(x.dtype).itemsize == 2 and x.shape[-1] % 2 == 0):
+        # exact bit-identical fast path for 2-byte features (the bf16
+        # serving island): half the gathered elements. OGI_GRIDSAMPLE=
+        # gather4plain forces the unpacked form.
+        return _grid_sample_gather4_packed(x, grid)
     return _grid_sample_gather4(x, grid)

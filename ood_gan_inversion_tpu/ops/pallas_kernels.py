@@ -824,6 +824,7 @@ def alignnet_t_context(t, g1, b1, k1, eps: float = 1e-5):
     the inline path -> bit-identical results."""
     c = t.shape[-1]
     cdt = jnp.bfloat16 if _CONV_BF16 else t.dtype
+    k1 = k1.astype(cdt)   # cast-before-slice, see algebraic_alignnet_body0
     t32 = t.astype(jnp.float32)
     et = jnp.mean(t32, axis=(1, 2))
     ett = jnp.mean(t32 * t32, axis=(1, 2))
@@ -859,6 +860,12 @@ def algebraic_alignnet_body0(s, t, g1, b1, k1, alpha, k2, g2, b2,
     c = s.shape[-1]
     cdt = jnp.bfloat16 if _CONV_BF16 else s.dtype
     conv = _an_conv
+    # cast weights to the conv dtype BEFORE slicing: the half-kernel slices
+    # materialize (ConcatBitcast buffers, 37.7 MB fp32 each at the
+    # 2C=1024 scales) — slicing the cast tensor halves those bytes under
+    # the bf16 island (no-op for fp32 pipelines)
+    k1 = k1.astype(cdt)
+    k2 = k2.astype(cdt)
     if t_ctx is not None:
         s32, t32 = s.astype(jnp.float32), t.astype(jnp.float32)
         et, vt, inv_t = t_ctx["et"], t_ctx["vt"], t_ctx["inv_t"]

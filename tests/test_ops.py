@@ -239,3 +239,21 @@ def test_grid_sample_modes_agree():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=fn.__name__)
+
+
+def test_grid_sample_gather4_packed_bitexact():
+    """r4: 2-byte features gather channel PAIRS as uint32 lanes (half the
+    gathered elements on the element-rate-capped TPU gather). Must be
+    bit-identical to the plain gather4 — it is pure bit movement."""
+    from ood_gan_inversion_tpu.ops import grid_sample as gs
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(2, 16, 12, 8).astype(np.float32)).astype(
+        jnp.bfloat16)
+    grid = jnp.asarray((r.rand(2, 16, 12, 2) * 2.2 - 1.1).astype(np.float32))
+    plain = gs._grid_sample_gather4(x, grid)
+    packed = gs._grid_sample_gather4_packed(x, grid)
+    assert plain.dtype == packed.dtype
+    assert bool(jnp.all(plain == packed))
+    # dispatch picks the packed path for even-C 2-byte inputs
+    out = gs.grid_sample_bilinear(x, grid)
+    assert bool(jnp.all(out == plain))
