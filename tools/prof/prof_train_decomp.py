@@ -81,8 +81,7 @@ def run(variant):
     from ood_gan_inversion_tpu.utils.host_init import cpu_init_model_state
     opt = make_opt(variant)
     model = build_model(opt)
-    state0 = jax.device_put(
-        cpu_init_model_state(opt, (BATCH, SIZE, SIZE, 3), seed=0), tpu)
+    state_host = cpu_init_model_state(opt, (BATCH, SIZE, SIZE, 3), seed=0)
     x = np.random.RandomState(0).randn(
         BATCH, 1, SIZE, SIZE, 3).astype(np.float32) * 0.5
     batch = {
@@ -96,8 +95,10 @@ def run(variant):
         """Run n dependent steps; force completion by fetching one logged
         scalar of the LAST step (state threading makes the chain truly
         sequential, so the fetch is a full barrier; r4: block_until_ready
-        does not block)."""
-        state = state0
+        does not block). train_step DONATES the state, so each window
+        uploads a fresh device copy — the upload cost is the same constant
+        in t(n1) and t(n2) and cancels in the slope."""
+        state = jax.device_put(state_host, tpu)
         t0 = time.perf_counter()
         for i in range(n):
             state, logs = model.train_step(state, batch,

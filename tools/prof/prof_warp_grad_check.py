@@ -47,7 +47,6 @@ opt["train"]["id_opt"].pop("ckpt", None)
 opt["train"]["fused_step"] = True
 
 state_host = cpu_init_model_state(opt, (BATCH, SIZE, SIZE, 3), seed=0)
-state = jax.device_put(state_host, tpu)
 print("state ready", file=sys.stderr, flush=True)
 
 x = np.random.RandomState(0).randn(BATCH, 1, SIZE, SIZE, 3).astype(
@@ -61,6 +60,9 @@ batch = {"gt": jax.device_put(jnp.asarray(x), tpu),
 def run(mode):
     samm._MXU_WARP = mode
     model = build_model(opt)          # fresh jit cache per mode
+    # fresh device copy per mode: train_step DONATES the input state, so
+    # reusing one device-resident state across modes hits deleted buffers
+    state = jax.device_put(state_host, tpu)
     t0 = time.time()
     new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
     logs = {k: float(np.asarray(v)) for k, v in logs.items()}
