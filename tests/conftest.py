@@ -60,6 +60,23 @@ def pytest_addoption(parser):
                      help="also run the slow end-to-end tier")
 
 
+# Individual tests whose COMPILE time dominates the default tier on this
+# 1-core host (r4 --durations: each is minutes even cache-warm because any
+# code change invalidates their big programs). They join the slow tier;
+# coverage-wise each has a cheaper sibling that stays default (e.g. the
+# data-parallel + reg-family mesh tests stay, the 8-device scaling sanity
+# and the 2-D hybrid mesh variant move).
+HEAVY_TESTS = (
+    "test_scaling_sanity_full_8_device_mesh",
+    "test_hybrid_dp_sp_train_step_matches_single",
+    "test_sharded_save_resume_roundtrip",
+    "test_load_pretrained_npz_roundtrip",
+    "test_invert_spatial_default_mesh_does_not_retrace",
+    "test_arch_jit_gradient_flows_to_samm_only_targets",
+    "test_inception_v3_fid_arch",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     run_all = (config.getoption("--golden") and config.getoption("--slow")) \
         or os.environ.get("OGI_TEST_ALL") == "1"
@@ -75,7 +92,8 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.golden)
             if not config.getoption("--golden"):
                 item.add_marker(skip_golden)
-        elif any(fname.startswith(s) for s in SLOW_FILES):
+        elif any(fname.startswith(s) for s in SLOW_FILES) \
+                or any(item.name.startswith(h) for h in HEAVY_TESTS):
             item.add_marker(pytest.mark.slow)
             if not config.getoption("--slow"):
                 item.add_marker(skip_slow)

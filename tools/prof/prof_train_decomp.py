@@ -91,31 +91,26 @@ def run(variant):
         "deg_type": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu),
     }
 
-    def chain(n, seed0):
-        """Run n dependent steps; force completion by fetching one logged
-        scalar of the LAST step (state threading makes the chain truly
-        sequential, so the fetch is a full barrier; r4: block_until_ready
-        does not block). train_step DONATES the state, so each window
-        uploads a fresh device copy — the upload cost is the same constant
-        in t(n1) and t(n2) and cancels in the slope."""
-        state = jax.device_put(state_host, tpu)
-        t0 = time.perf_counter()
-        for i in range(n):
-            state, logs = model.train_step(state, batch,
-                                           jax.random.PRNGKey(seed0 + i), 5)
-        float(np.asarray(next(iter(logs.values()))))
-        return time.perf_counter() - t0
+    RT = 0.030  # measured per-fetch host round-trip (PERF.md r4, ~29 ms)
 
     try:
+        # ONE upload; train_step donates, so the state threads through every
+        # step below (never re-uploaded — per-window uploads made the r4
+        # first-cut slope useless: windows 427/872/1772 ms).
+        state = jax.device_put(state_host, tpu)
         t0 = time.time()
-        chain(1, 1)
+        state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
+        float(np.asarray(next(iter(logs.values()))))   # drain upload+step0
         comp = time.time() - t0
-        chain(2, 2)  # throwaway
         samples = []
+        n = 5
         for w in range(3):
-            t1 = chain(1, 20 + w)
-            t2 = chain(5, 40 + w)
-            samples.append((t2 - t1) * 1000.0 / 4)
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, logs = model.train_step(
+                    state, batch, jax.random.PRNGKey(20 + w * n + i), 5)
+            float(np.asarray(next(iter(logs.values()))))
+            samples.append((time.perf_counter() - t0 - RT) * 1000.0 / n)
         ms = float(np.median(samples))
         print(f"{variant:10s} {ms:8.1f} ms/step (compile {comp:.0f}s; "
               f"windows {['%.0f' % s for s in samples]})",
