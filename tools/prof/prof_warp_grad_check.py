@@ -6,17 +6,19 @@ formulation -- gradients are for a numerically-close but not identical
 function, and the CPU golden train-step parity can't see it (the gate is
 off on CPU). This runs ONE full train step (E4E_Face recipe, 1024px, b=2,
 plain phase) from a fixed state/rng TWICE in one process -- MXU warp auto
-vs forced off (two build_model instances so each traces fresh) -- and
-prints every logged loss plus the relative update-norm delta.
+vs forced off (fresh build_model per mode so each traces fresh) -- and
+compares every logged loss plus an update FINGERPRINT (per-mode norms and
+signed sums of the param deltas for the trainable subtrees).
 
-State init: cpu_init_model_state subprocess (r4 environment: in-process
-eager init hangs). Completion barriers are scalar fetches (r4:
-block_until_ready does not block).
+Memory discipline (r4: two resident full states OOM'd the 16 GB chip):
+each mode fetches its scalars and releases every device buffer before the
+next mode runs. State init via the cpu_init_model_state subprocess;
+completion barriers are scalar fetches (block_until_ready doesn't block).
 
-Expected deltas: forward drift <=0.3% rel on the warped feature
-(tests/test_pallas_warp.py), so losses should agree to ~1e-3 rel and the
-update norms to ~1e-2 rel (Adam normalizes per-param scale).
+Expected: forward drift <=0.3% rel on the warped feature
+(tests/test_pallas_warp.py), so losses ~1e-3 rel and fingerprints ~1e-2.
 """
+import gc
 import os, sys, time
 sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
 os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
@@ -57,41 +59,47 @@ batch = {"gt": jax.device_put(jnp.asarray(x), tpu),
          "deg_type": jax.device_put(jnp.ones((BATCH, 1), jnp.float32), tpu)}
 
 
+def fingerprint(new_tree, old_tree_host):
+    old = jax.device_put(old_tree_host, tpu)
+    f = jax.jit(lambda a, b: (
+        sum(jnp.sum((jnp.asarray(p) - jnp.asarray(q)).astype(
+            jnp.float32) ** 2) for p, q in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))),
+        sum(jnp.sum((jnp.asarray(p) - jnp.asarray(q)).astype(jnp.float32))
+            for p, q in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b)))))
+    sq, sg = f(new_tree, old)
+    return float(np.asarray(sq)) ** 0.5, float(np.asarray(sg))
+
+
 def run(mode):
     samm._MXU_WARP = mode
     model = build_model(opt)          # fresh jit cache per mode
-    # fresh device copy per mode: train_step DONATES the input state, so
-    # reusing one device-resident state across modes hits deleted buffers
     state = jax.device_put(state_host, tpu)
     t0 = time.time()
     new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
     logs = {k: float(np.asarray(v)) for k, v in logs.items()}
     print(f"mode={mode}: step done (compile+run {time.time() - t0:.0f}s)",
           flush=True)
-    return new_state, logs
+    ng, sg = fingerprint(new_state.params_g_train, state_host.params_g_train)
+    nd, sd = fingerprint(new_state.params_d, state_host.params_d)
+    del new_state, state, model
+    gc.collect()
+    return logs, (ng, sg, nd, sd)
 
 
 res = {}
 for mode in ("auto", "0"):
     res[mode] = run(mode)
 
-diffnorm = jax.jit(lambda a, b: (
-    sum(jnp.sum((jnp.asarray(p) - jnp.asarray(q)).astype(jnp.float32) ** 2)
-        for p, q in zip(jax.tree_util.tree_leaves(a),
-                        jax.tree_util.tree_leaves(b))) ** 0.5,
-    sum(jnp.sum(jnp.asarray(p).astype(jnp.float32) ** 2)
-        for p in jax.tree_util.tree_leaves(a)) ** 0.5))
-
-sa, la = res["auto"]
-s0, l0 = res["0"]
+la, fa = res["auto"]
+l0, f0 = res["0"]
 print(f"{'loss':16s} {'auto':>12s} {'off':>12s} {'rel delta':>10s}")
 for k in sorted(la):
     a, b = la[k], l0[k]
     rel = abs(a - b) / max(abs(a), abs(b), 1e-9)
     print(f"{k:16s} {a:12.6f} {b:12.6f} {rel:10.2e}", flush=True)
-for name, pa, p0 in (("params_g_train", sa.params_g_train, s0.params_g_train),
-                     ("params_d", sa.params_d, s0.params_d)):
-    d, n = diffnorm(pa, p0)
-    d, n = float(np.asarray(d)), float(np.asarray(n))
-    print(f"update-delta {name}: |auto-off|={d:.6e}  |auto|={n:.6e}  "
-          f"rel={d / max(n, 1e-12):.2e}", flush=True)
+names = ["|upd_g|", "sum(upd_g)", "|upd_d|", "sum(upd_d)"]
+for n, a, b in zip(names, fa, f0):
+    rel = abs(a - b) / max(abs(a), abs(b), 1e-12)
+    print(f"{n:16s} {a:12.6e} {b:12.6e} rel {rel:10.2e}", flush=True)
