@@ -170,10 +170,11 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         # halve the gather bytes: fetch taps in bf16, blend in x.dtype
         out = _grid_sample_gather4(x.astype(jnp.bfloat16), grid)
         return out.astype(x.dtype)
-    if (_MODE in ("gather4", "gather4packed")
+    if (_MODE == "gather4packed"
             and jnp.dtype(x.dtype).itemsize == 2 and x.shape[-1] % 2 == 0):
-        # exact bit-identical fast path for 2-byte features (the bf16
-        # serving island): half the gathered elements. OGI_GRIDSAMPLE=
-        # gather4plain forces the unpacked form.
+        # bit-identical channel-pair packing — halves the gathered elements
+        # but LOST its end-to-end A/B at b=1 (23.74 vs 22.46 ms/img,
+        # PERF.md r4: the bitcast/reshape chain around the gather costs
+        # more fusion than the element count saves), so it is OPT-IN.
         return _grid_sample_gather4_packed(x, grid)
     return _grid_sample_gather4(x, grid)

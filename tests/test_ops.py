@@ -254,6 +254,14 @@ def test_grid_sample_gather4_packed_bitexact():
     packed = gs._grid_sample_gather4_packed(x, grid)
     assert plain.dtype == packed.dtype
     assert bool(jnp.all(plain == packed))
-    # dispatch picks the packed path for even-C 2-byte inputs
+    # packed is OPT-IN (lost its end-to-end A/B, PERF.md r4): the default
+    # dispatch stays on the plain gather, the knob selects packing
     out = gs.grid_sample_bilinear(x, grid)
     assert bool(jnp.all(out == plain))
+    orig = gs._MODE
+    try:
+        gs._MODE = "gather4packed"
+        out_p = gs.grid_sample_bilinear(x, grid)
+    finally:
+        gs._MODE = orig
+    assert bool(jnp.all(out_p == plain))
