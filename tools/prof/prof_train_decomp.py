@@ -98,8 +98,15 @@ def run(variant):
         # step below (never re-uploaded — per-window uploads made the r4
         # first-cut slope useless: windows 427/872/1772 ms).
         state = jax.device_put(state_host, tpu)
+        # PT_STEP picks the curriculum stage: the recipe is progressive
+        # (progressiveModSize [32,64,128,256] from step 2000 every 4000),
+        # so step 5 = mod_size 32 (SAMM at one scale) while PT_STEP=99999
+        # = the full mod_size-256 workload. Historical rounds measured
+        # step 5; state both when recording.
+        step_idx = int(os.environ.get("PT_STEP", "5"))
         t0 = time.time()
-        state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
+        state, logs = model.train_step(state, batch, jax.random.PRNGKey(1),
+                                       step_idx)
         float(np.asarray(next(iter(logs.values()))))   # drain upload+step0
         comp = time.time() - t0
         samples = []
@@ -108,7 +115,8 @@ def run(variant):
             t0 = time.perf_counter()
             for i in range(n):
                 state, logs = model.train_step(
-                    state, batch, jax.random.PRNGKey(20 + w * n + i), 5)
+                    state, batch, jax.random.PRNGKey(20 + w * n + i),
+                    step_idx)
             float(np.asarray(next(iter(logs.values()))))
             samples.append((time.perf_counter() - t0 - RT) * 1000.0 / n)
         ms = float(np.median(samples))

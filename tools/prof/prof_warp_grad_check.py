@@ -77,7 +77,13 @@ def run(mode):
     model = build_model(opt)          # fresh jit cache per mode
     state = jax.device_put(state_host, tpu)
     t0 = time.time()
-    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1), 5)
+    # step index LATE in the curriculum (mod_size=256 so the >=128px SAMM
+    # scales exist -- at early steps the MXU warp never engages and the
+    # check compares identical programs; plain phase: 99999 misses both
+    # reg cadences in the recipe)
+    step_idx = int(os.environ.get("PT_STEP", "99999"))
+    new_state, logs = model.train_step(state, batch, jax.random.PRNGKey(1),
+                                       step_idx)
     logs = {k: float(np.asarray(v)) for k, v in logs.items()}
     print(f"mode={mode}: step done (compile+run {time.time() - t0:.0f}s)",
           flush=True)
