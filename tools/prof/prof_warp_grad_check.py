@@ -94,13 +94,19 @@ def run(mode):
     return logs, (ng, sg, nd, sd)
 
 
+PAIR = None
 res = {}
-for mode in ("auto", "0"):
+# PT_MODES: the gate values to compare. Default "1,0" FORCES the kernel on
+# vs off -- "auto" only engages at batch >= 2, but the >=128px curriculum
+# stages OOM v5e HBM at b=2 (PERF.md r4), so the valid spot check is
+# b=1 + forced gate at PT_STEP=99999 (mod_size 256).
+MODES = os.environ.get("PT_MODES", "1,0").split(",")
+for mode in MODES:
     res[mode] = run(mode)
 
-la, fa = res["auto"]
-l0, f0 = res["0"]
-print(f"{'loss':16s} {'auto':>12s} {'off':>12s} {'rel delta':>10s}")
+la, fa = res[MODES[0]]
+l0, f0 = res[MODES[1]]
+print(f"{'loss':16s} {MODES[0]:>12s} {MODES[1]:>12s} {'rel delta':>10s}")
 for k in sorted(la):
     a, b = la[k], l0[k]
     rel = abs(a - b) / max(abs(a), abs(b), 1e-9)
