@@ -110,12 +110,16 @@ _SAMM_TCTX = os.environ.get("OGI_SAMM_TCTX", "1") == "1"
 # b=2 (37.3 vs 39.4), b=4 (2 of 3 runs: 36.6/39.6 vs 43.8/44.0) and b=8
 # (21.6 vs 26.0). "auto" (default) therefore enables it on the TPU backend
 # only when the traced batch >= OGI_MXU_WARP_BATCH; "1"/"0" force on/off.
-# NOTE train-path coverage gap (ADVICE r2): under "auto" the forward runs
+# NOTE train-path gradient gap (ADVICE r2): under "auto" the forward runs
 # the MXU kernel while its custom_vjp backward recomputes the XLA reference
 # formulation, so training gradients are for a numerically-close but not
 # bit-identical function; the CPU golden train-step parity can't see this
-# because the backend gate turns the kernel off on CPU. Verified instead by
-# tests/test_pallas_warp.py gradient checks (fwd/bwd consistency on TPU).
+# because the backend gate turns the kernel off on CPU. MEASURED on the
+# real chip (r4, prof_warp_grad_check.py, PERF.md "MXU-warp train-gradient
+# spot check"): one full 1024px mod-256 train step with the kernel forced
+# on vs off agrees to 1.1e-4 rel on l_total (worst loss 3e-3) and ~1e-5
+# on the Adam update norms — benign. Also covered by
+# tests/test_pallas_warp.py gradient checks (fwd/bwd consistency).
 # The dispatch itself is wrapped in lax.platform_dependent
 # (ops/pallas_warp.py:warp_blend_platform): the gate below is a trace-time
 # HINT, and a trace lowered for a different platform than the session
