@@ -174,8 +174,19 @@ class BatchingServer:
                     raw = await reader.readexactly(nbytes)
                     img = np.frombuffer(raw, np.float32).reshape(shape)
                     image, mask = await self.invert(img)
+                    # reply dtype negotiation: `x-dtype: float16` halves the
+                    # reply bytes (the dominant serving cost on narrow host
+                    # links — PERF.md r4 measured ~12 MB/s; a 1024px fp32
+                    # reply is ~16 MB). Values are rounded to fp16, which is
+                    # below the pipeline's own bf16 noise floor.
+                    rdt = headers.get("x-dtype", "float32")
+                    if rdt == "float16":
+                        image = image.astype(np.float16)
+                        mask = mask.astype(np.float16) if mask is not None \
+                            else None
                     body = image.tobytes() + (mask.tobytes() if mask is not None else b"")
                     extra = (b"x-shape: " + json.dumps(list(image.shape)).encode()
+                             + b"\r\nx-dtype: " + rdt.encode()
                              + b"\r\nx-mask-shape: "
                              + json.dumps(list(mask.shape) if mask is not None
                                           else None).encode() + b"\r\n")

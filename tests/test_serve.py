@@ -202,6 +202,33 @@ def test_http_transport(engine):
         await w3.drain()
         assert b"200" in await r3.readline()
         w3.close()
+
+        # x-dtype: float16 reply negotiation (half the reply bytes; r4)
+        r4, w4 = await asyncio.open_connection("127.0.0.1", 8473)
+        w4.write(
+            b"POST /invert HTTP/1.1\r\n"
+            b"x-shape: " + json.dumps(list(img.shape)).encode() + b"\r\n"
+            b"x-dtype: float16\r\n"
+            b"content-length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+        await w4.drain()
+        assert b"200" in await r4.readline()
+        h16 = {}
+        while True:
+            h = (await r4.readline()).decode().strip()
+            if not h:
+                break
+            k, _, v = h.partition(":")
+            h16[k.strip().lower()] = v.strip()
+        assert h16["x-dtype"] == "float16"
+        ishape16 = tuple(json.loads(h16["x-shape"]))
+        img16 = np.frombuffer(
+            await r4.readexactly(int(np.prod(ishape16)) * 2),
+            np.float16).reshape(ishape16)
+        # fp16 reply matches the fp32 reply to fp16 rounding
+        np.testing.assert_allclose(img16.astype(np.float32), image,
+                                   rtol=0, atol=2e-3)
+        w4.close()
         task.cancel()
         return image, stats
 
