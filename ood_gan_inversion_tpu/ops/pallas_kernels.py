@@ -58,6 +58,16 @@ _CONV_BF16 = os.environ.get("OGI_SAMM_CONV_BF16", "0") == "1"
 # MXU peak); costs a 9x materialization of the input taps in HBM
 # (~0.4 ms/conv of extra traffic at 256px). A/B knob, default per PERF.md.
 _CONV_MATMUL = os.environ.get("OGI_SAMM_CONV_MATMUL", "0") == "1"
+# OGI_SAMM_CONV_BATCHFOLD: fold SMALL batches into the conv's HEIGHT axis
+# with zero-row separators — exact pad-1 semantics per image (each image's
+# boundary rows see exactly the zero rows per-image padding would give).
+# Built against the r4 b=2/4 collapse (body0 convs cost 11.6 ms/img at
+# b=2 vs 6.9 at b=1) on the hypothesis that b=1 gets a better conv
+# schedule — REFUTED by the A/B: folding measured 36.98 vs 31.66 ms/img
+# at b=2 (PERF.md r4), i.e. the b=1 advantage is shape-, not
+# batch-schedule-, driven. Default OFF; "auto" folds 2 <= b <= 4, "1"
+# folds every b > 1 (bit-exact either way, tested).
+_CONV_BATCHFOLD = os.environ.get("OGI_SAMM_CONV_BATCHFOLD", "0")
 
 from .fused_act import fused_leaky_relu
 
@@ -799,9 +809,31 @@ def _conv3x3_im2col(v, k):
     return out.reshape(b, h, w, co).astype(v.dtype)
 
 
+def _conv3x3_batchfold(v, k):
+    """3x3 pad-1 conv with the batch folded into height: pad each image
+    with one zero row top+bottom, stack along H, run ONE batch-1 'same'
+    conv (vertical pad contributes only to the sliced-away separator
+    outputs), then slice each image's h rows back out. Every real output
+    row sees exactly the neighbors + zero padding the per-image conv
+    gives — bit-identical math, batch-1 conv schedule."""
+    b, h, w, c = v.shape
+    co = k.shape[-1]
+    vz = jnp.pad(v, [(0, 0), (1, 1), (0, 0), (0, 0)])
+    vv = vz.reshape(1, b * (h + 2), w, c)
+    out = lax.conv_general_dilated(
+        vv, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(b, h + 2, w, co)[:, 1:-1]
+
+
 def _an_conv(v, k):
     if _CONV_MATMUL:
         return _conv3x3_im2col(v, k)
+    bsz = v.shape[0]
+    if ((_CONV_BATCHFOLD == "auto" and 2 <= bsz <= 4)
+            or (_CONV_BATCHFOLD == "1" and bsz > 1)):
+        return _conv3x3_batchfold(v, k)
     return lax.conv_general_dilated(
         v, k.astype(v.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

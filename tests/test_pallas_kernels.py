@@ -344,3 +344,20 @@ def test_alignnet_module_algebraic_matches_unfused(monkeypatch):
     got = net.apply(params, s, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_batchfold_bitexact():
+    """r4: small batches fold into the conv height axis with zero-row
+    separators (targets the b=2/4 conv-schedule collapse). Must be
+    bit-identical to the plain pad-1 conv."""
+    import ood_gan_inversion_tpu.ops.pallas_kernels as pk
+    from jax import lax
+    r = np.random.RandomState(5)
+    for b, h, w, ci, co in [(2, 9, 7, 6, 4), (4, 16, 16, 8, 8)]:
+        v = jnp.asarray(r.randn(b, h, w, ci).astype(np.float32))
+        k = jnp.asarray(r.randn(3, 3, ci, co).astype(np.float32))
+        ref = lax.conv_general_dilated(
+            v, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fold = pk._conv3x3_batchfold(v, k)
+        assert float(jnp.max(jnp.abs(ref - fold))) == 0.0

@@ -53,6 +53,7 @@ from ood_gan_inversion_tpu.ops import grid_sample as gs_mod
 CONFIG_TABLE["gatherplain"] = {gs_mod: {"_MODE": "gather4plain"}}
 CONFIG_TABLE["sammfused"] = {samm: {"_SAMM_FUSED": True}}
 CONFIG_TABLE["warpoff"] = {samm: {"_MXU_WARP": "0"}}
+CONFIG_TABLE["batchfold0"] = {pk: {"_CONV_BATCHFOLD": "0"}}
 from ood_gan_inversion_tpu.archs import common as arch_common
 CONFIG_TABLE["sammfp32_off"] = {arch_common: {"_SAMM_FP32": False}}
 # after the r4 default flip (OGI_SAMM_FP32_INFER=0), "base" is already the
