@@ -37,16 +37,26 @@ def _round_pow2(n):
 
 class BatchingServer:
     def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0,
-                 mesh=None):
+                 mesh=None, split_below: int = 0):
         """`mesh`: optional jax.sharding.Mesh — coalesced batches are then
         data-sharded across its devices (multi-chip serving), padded so the
-        batch divides the mesh size."""
+        batch divides the mesh size.
+
+        `split_below`: if > 1, coalesced groups SMALLER than this dispatch
+        as per-image batch-1 calls instead of one padded pow2 batch.
+        Motivation (PERF.md r4 batch curve on v5e): intermediate batches
+        collapse — 31.5 ms/img at b=2/4 vs 22.5 at b=1 and 17.1 at b=8 —
+        so n=2..6 requests are FASTER as n sequential b=1 dispatches
+        (n×22.5 ms) than as one padded batch (63-137 ms). 7 is the
+        break-even on the measured curve; default 0 keeps the plain pow2
+        policy for hardware without the collapse."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.mesh = mesh
+        self.split_below = split_below
         self._queue: asyncio.Queue = asyncio.Queue()
-        self._stats = {"requests": 0, "batches": 0, "padded": 0}
+        self._stats = {"requests": 0, "batches": 0, "padded": 0, "split": 0}
         self._collector_task = None
 
     # ------------------------------------------------------------- dispatch
@@ -59,6 +69,20 @@ class BatchingServer:
 
     def _run_batch(self, imgs):
         n = len(imgs)
+        if (self.mesh is None and 1 < n < self.split_below):
+            # intermediate-batch collapse mitigation (see __init__): n
+            # sequential batch-1 dispatches beat one padded batch here.
+            # Per-request results equal the batched path's to reduction-
+            # order ULPs (per-sample noise keys + per-sample InstanceNorm
+            # make rows batch-invariant; tests/test_serve.py split test).
+            keys = np.asarray(jax.random.PRNGKey(0))[None]
+            outs = [self.engine.invert_batch_perkey([im], keys)
+                    for im in imgs]
+            self._stats["split"] += n
+            image = np.concatenate([np.asarray(o["image"]) for o in outs], 0)
+            mask = (np.concatenate([np.asarray(o["mask"]) for o in outs], 0)
+                    if outs[0]["mask"] is not None else None)
+            return {"image": image, "mask": mask}, n
         b = self._batch_size_for(n)
         imgs = list(imgs)
         if b > n:                      # pad to the compiled batch shape

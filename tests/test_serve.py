@@ -235,3 +235,31 @@ def test_http_transport(engine):
     image, stats = asyncio.run(run())
     assert np.isfinite(image).all()
     assert stats["requests"] >= 1
+
+
+def test_split_small_batches_matches_batched(engine):
+    """split_below dispatches 2..n-1 coalesced requests as batch-1 calls
+    (r4 intermediate-batch collapse mitigation); per-request replies must
+    equal the padded-batch path's byte for byte."""
+    srv_split = BatchingServer(engine, max_batch=4, max_wait_ms=30.0,
+                               split_below=4)
+    srv_plain = BatchingServer(engine, max_batch=4, max_wait_ms=30.0)
+    imgs = [np.random.RandomState(i).rand(64, 64, 3).astype(np.float32)
+            for i in range(2)]
+
+    async def drive(srv):
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(im) for im in imgs])
+        await srv.stop()
+        return outs
+
+    outs_s = asyncio.run(drive(srv_split))
+    outs_p = asyncio.run(drive(srv_plain))
+    assert srv_split.stats["split"] == 2
+    assert srv_plain.stats["split"] == 0
+    for (si, sm), (pi, pm) in zip(outs_s, outs_p):
+        # batch-1 and batch-2 programs differ at reduction-order ULP level
+        # (e.g. InstanceNorm means); equality is numeric, not bitwise
+        np.testing.assert_allclose(si, pi, rtol=0, atol=1e-4)
+        if pm is not None:
+            np.testing.assert_allclose(sm, pm, rtol=0, atol=1e-4)
