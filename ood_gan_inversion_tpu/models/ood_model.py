@@ -511,10 +511,12 @@ class OODFaceGANModel:
         gt = x
         rng_d = jax.random.fold_in(rng, 1)
         params_g_all = merge_params(state.params_g_train, state.params_g_frozen)
-        # D phase never differentiates through the G decode (fake is
-        # stop_gradient'ed), so the stage remat would be pure overhead
-        out_d = self._forward(params_g_all, x, rng_d, mod_size, stage,
-                              train=False)
+        # train=True here despite no G gradient: XLA elides remat in
+        # no-grad regions anyway (r4 HLO finding), and the flag also keys
+        # the SAMM fp32-island policy — the D phase must see fakes computed
+        # under the same TRAIN numerics as the G phase, not the bf16
+        # inference island.
+        out_d = self._forward(params_g_all, x, rng_d, mod_size, stage)
         fake = jax.lax.stop_gradient(out_d["image"])
 
         def d_loss_fn(pd):
