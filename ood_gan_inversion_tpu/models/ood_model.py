@@ -383,13 +383,19 @@ class OODFaceGANModel:
         self.tx_d2 = lambda: d_adam(od.get("lr", 2e-5), od2)
 
     # ------------------------------------------------------------------
-    def init_state(self, rng, sample_shape, abstract: bool = False
-                   ) -> TrainState:
+    def init_state(self, rng, sample_shape, abstract: bool = False,
+                   seed=None) -> TrainState:
         """Initialize all parameters and optimizer states.
 
         Runs on the CPU backend when available: on this TPU stack a remote
         compile of the giant init program costs minutes, while CPU init is
-        seconds; the train step then transfers the pytree once.
+        seconds; the train step then transfers the pytree once. When an
+        accelerator backend is the session default AND `seed` is given,
+        the init runs in a CPU-only SUBPROCESS instead
+        (utils/host_init.cpu_init_model_state, disk-cached): as of r4 even
+        on-CPU eager init hangs once the accelerator plugin is initialized
+        in-process (PERF.md r4 environment note). `seed` must reproduce
+        `rng` (i.e. rng == PRNGKey(seed)) for the two paths to agree.
 
         abstract=True skips running the init programs entirely: parameter
         SHAPES come from jax.eval_shape and the values are a cheap
@@ -408,6 +414,14 @@ class OODFaceGANModel:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+        if seed is not None and jax.default_backend() != "cpu":
+            try:
+                from ..utils.host_init import cpu_init_model_state
+                return cpu_init_model_state(self.opt, tuple(sample_shape),
+                                            seed=int(seed))
+            except Exception as e:  # non-picklable opt etc: fall through
+                print(f"subprocess init failed ({e!r}); falling back to "
+                      "in-process init (may be very slow on this backend)")
         if cpu is not None:
             with jax.default_device(cpu):
                 return self._init_state_impl(rng, sample_shape)

@@ -31,7 +31,8 @@ def test_pipeline(root_path, args=None):
     model = build_model(opt)
     gt_size = next(iter(opt["datasets"].values())).get("gt_size", 1024)
     state = model.init_state(jax.random.PRNGKey(opt.get("manual_seed", 0)),
-                             (1, gt_size, gt_size, 3))
+                             (1, gt_size, gt_size, 3),
+                             seed=opt.get("manual_seed", 0))
     p = (opt.get("path", {}) or {}).get("pretrain_network_g")
     if p:
         state = load_pretrained(model, state, p, "g",

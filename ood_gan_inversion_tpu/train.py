@@ -87,7 +87,8 @@ def train_pipeline(root_path, args=None):
     batch = opt["datasets"]["train"].get("batch_size_per_gpu", 1) * n_dev
     k = opt["datasets"]["train"].get("max_length", 1)
     rng = jax.random.PRNGKey(opt.get("manual_seed", 0))
-    state = model.init_state(rng, (batch * k, gt_size, gt_size, 3))
+    state = model.init_state(rng, (batch * k, gt_size, gt_size, 3),
+                             seed=opt.get("manual_seed", 0))
 
     # pretrained / converted weights
     path_opt = opt.get("path", {}) or {}
