@@ -853,7 +853,9 @@ def alignnet_t_context(t, g1, b1, k1, eps: float = 1e-5):
     joint formulation because the t-only coefficients are stacked with
     s-dependent ones into one tensor; this computes them t-only so
     SPMWarp can evaluate once before the loop. Exact same ops/order as
-    the inline path -> bit-identical results."""
+    the inline path -> bit-identical results at fp32; under the bf16
+    island the stored tn/h halves are bf16 (r4 byte discipline), so the
+    two paths agree to bf16 ULPs rather than bitwise."""
     c = t.shape[-1]
     cdt = jnp.bfloat16 if _CONV_BF16 else t.dtype
     k1 = k1.astype(cdt)   # cast-before-slice, see algebraic_alignnet_body0
