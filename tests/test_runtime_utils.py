@@ -94,3 +94,26 @@ def test_memcached_file_client_gate():
     from ood_gan_inversion_tpu.data.file_client import FileClient
     with pytest.raises(ImportError, match="mc"):
         FileClient("memcached", server_list_cfg="/none", client_cfg="/none")
+
+
+def test_init_state_routes_to_subprocess_on_accelerator(monkeypatch):
+    """r4: on accelerator sessions (where in-process eager init hangs),
+    init_state(seed=...) must delegate to the cached subprocess init; CPU
+    sessions and seedless calls keep the in-process path."""
+    import jax
+    from ood_gan_inversion_tpu.models import build_model, ood_model
+    from ood_gan_inversion_tpu.utils import host_init
+    from tests.test_train_model import micro_opt
+
+    called = {}
+
+    def fake_state(opt, shape, seed):
+        called["args"] = (tuple(shape), seed)
+        return "SENTINEL_STATE"
+
+    monkeypatch.setattr(host_init, "cpu_init_model_state", fake_state)
+    monkeypatch.setattr(ood_model.jax, "default_backend", lambda: "axon")
+    model = build_model(micro_opt())
+    out = model.init_state(jax.random.PRNGKey(3), (1, 32, 32, 3), seed=3)
+    assert out == "SENTINEL_STATE"
+    assert called["args"] == ((1, 32, 32, 3), 3)
