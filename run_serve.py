@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--port", type=int, default=8471)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--split-below", type=int, default=0,
+                    help="dispatch coalesced groups smaller than this as "
+                         "batch-1 calls (mitigates the v5e intermediate-"
+                         "batch collapse, PERF.md r4; 7 = measured "
+                         "break-even there)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile every dispatchable batch shape before "
                          "accepting traffic (no compile stall on first hits)")
@@ -62,7 +67,8 @@ def main():
         accel = [d for d in jax.devices() if d.platform != "cpu"]
         mesh = make_mesh((accel or jax.devices())[:args.shard_devices])
     srv = BatchingServer(engine, max_batch=args.max_batch,
-                         max_wait_ms=args.max_wait_ms, mesh=mesh)
+                         max_wait_ms=args.max_wait_ms, mesh=mesh,
+                         split_below=args.split_below)
     if args.warmup:
         sizes = srv.warmup()
         print(f"warmed batch shapes: {sizes}")
