@@ -34,7 +34,7 @@ def list_images(folder):
 
 
 class InversionEngine:
-    def __init__(self, opt, params=None, rng=None):
+    def __init__(self, opt, params=None, rng=None, seed: int = 0):
         self.opt = opt
         g_opt = {k: v for k, v in opt["network_g"].items()
                  if not (k.endswith("_pth") or k.endswith("_pth_key") or k in (
@@ -42,7 +42,16 @@ class InversionEngine:
                      "progressiveStep", "progressiveStageSteps", "ModSize"))}
         self.net = build_network(g_opt)
         self.out_size = opt["network_g"].get("out_size", 1024)
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # the rng/seed pair must agree (rng == PRNGKey(seed)): the CPU path
+        # consumes rng directly while the accelerator path inits in a
+        # CPU-only subprocess that can only receive the int seed (advisor r4)
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        elif not np.array_equal(np.asarray(rng),
+                                np.asarray(jax.random.PRNGKey(seed))):
+            raise ValueError(
+                f"InversionEngine: seed={seed} does not reproduce the given "
+                "rng; pass a matching (rng, seed) pair or just the seed")
         if params is None:
             x = jnp.zeros((1, self.out_size, self.out_size, 3))
             if jax.default_backend() == "cpu":
@@ -56,7 +65,7 @@ class InversionEngine:
                 # compiles cost minutes (r4 environment note).
                 from .utils.host_init import cpu_init_params
                 params = cpu_init_params(
-                    g_opt, (1, self.out_size, self.out_size, 3), seed=0,
+                    g_opt, (1, self.out_size, self.out_size, 3), seed=seed,
                     mod_size=256)
         # pin params to the accelerator once (CPU-resident params would be
         # re-transferred through the device tunnel on every call)

@@ -52,13 +52,19 @@ _KNOWN_TRAIN_KEYS = {
     "skip_latent_g", "skip_gen_g", "which_gt", "grad_clip_norm",
     "r1_reg_weight", "path_reg_weight", "path_batch_shrink",
     "net_d_reg_every", "net_g_reg_every", "remat", "ema_decay",
-    "fused_step", "g_gan_live_grad",
+    "fused_step", "g_gan_live_grad", "ldm_opt",
 }
-# accepted by the reference model but inert there too (dead loss hooks with
-# no loss class behind them, OOD_faceGAN_model.py:184-238, or knobs of the
-# parent StyleGAN2Model's noise-sampling path the OOD model never takes)
+# accepted by the reference model but inert there too. clip_opt /
+# contextual_opt have no loss class in any registry (build_loss raises in
+# the reference too). latent_opt/aug_opt build (any registered type,
+# OOD_faceGAN_model.py:188-214) but read tensors the shipped pipelines never
+# produce: latent_opt needs gt_latents['ori_latents'] (:728-729, only set
+# when a dataset supplies pre-computed latents) and aug_opt needs
+# aug_lats/cyc_lats (:733-734, only set by the aug-forward path no shipped
+# config enables) — divergence documented in PARITY.md. mixing_prob /
+# net_d_iters / net_d_init_iters are parent-StyleGAN2Model noise-path knobs.
 _INERT_TRAIN_KEYS = {
-    "ldm_opt", "latent_opt", "clip_opt", "contextual_opt", "aug_opt",
+    "latent_opt", "clip_opt", "contextual_opt", "aug_opt",
     "mixing_prob", "net_d_iters", "net_d_init_iters",
 }
 
@@ -256,6 +262,13 @@ class OODFaceGANModel:
                          if "mask_opt" in train_opt else None)
         self.cri_latent_reg = (build_loss(train_opt["latent_reg_opt"])
                                if "latent_reg_opt" in train_opt else None)
+        # `ldm_opt` ("landmark") in the reference is a generic registry-built
+        # loss applied to (fake_hr, gt) — OOD_faceGAN_model.py:183-186 builds
+        # it from ANY registered loss type and :698-703 adds
+        # cri_ldm(fake_hr, gt_) to l_total. No shipped config sets it, but it
+        # is runnable config space; mirror it exactly.
+        self.cri_ldm = (build_loss(train_opt["ldm_opt"])
+                        if "ldm_opt" in train_opt else None)
 
         self.skip_latent_g = train_opt.get("skip_latent_g", True)
         self.skip_gen_g = train_opt.get("skip_gen_g", False)
@@ -414,6 +427,14 @@ class OODFaceGANModel:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+        if seed is not None and not jnp.array_equal(
+                np.asarray(rng), np.asarray(jax.random.PRNGKey(int(seed)))):
+            # the documented invariant rng == PRNGKey(seed); a mismatched
+            # pair would silently yield different params on accelerator
+            # sessions (subprocess uses seed) than on CPU (uses rng)
+            raise ValueError(
+                f"init_state: seed={seed} does not reproduce the given rng "
+                "(rng != PRNGKey(seed)); pass a matching pair or omit seed")
         if seed is not None and jax.default_backend() != "cpu":
             try:
                 from ..utils.host_init import cpu_init_model_state
@@ -724,6 +745,11 @@ class OODFaceGANModel:
                 l_id, l_ref = id_fn(fake_o.reshape(shape5))
                 aux["l_id_target"] = l_id
                 total += l_id + l_ref
+            if self.cri_ldm is not None:
+                # reference order: id -> ldm -> pix (OOD_faceGAN_model.py:698)
+                l_ldm = self.cri_ldm(fake_o, gt)
+                aux["l_ldm"] = l_ldm
+                total += l_ldm
             if self.cri_pix is not None:
                 l_pix = self.cri_pix(fake_o, gt)
                 aux["l_pix"] = l_pix
@@ -849,6 +875,10 @@ class OODFaceGANModel:
                 l_id, l_ref = id_fn(fake.reshape(shape5))
                 aux["l_id_target"] = l_id
                 total += l_id + l_ref
+            if self.cri_ldm is not None:
+                l_ldm = self.cri_ldm(fake, gt)
+                aux["l_ldm"] = l_ldm
+                total += l_ldm
             if self.cri_pix is not None:
                 l_pix = self.cri_pix(fake, gt)
                 aux["l_pix"] = l_pix

@@ -27,6 +27,7 @@ formulation (consistent with the decode remat policy).
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +100,71 @@ def _warp_kernel(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
         o_ref[0, r] = (out * al + tgt * (1.0 - al)).astype(o_ref.dtype)
 
 
+def _warp_kernel_v2(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
+                    w: int, c: int, p: int, band: int, tile: int):
+    """Lower-FLOP reformulation (r5). v1 computes, per output row, the
+    horizontal interpolation of ALL kv=2p+1 candidate source rows — a
+    (W, Wp) @ (Wp, KV*C) dot whose kv factor is ~25x overwork at the 256px
+    scale, plus a (W, KV*C) fp32 intermediate (3.2 MB/row) that must round-
+    trip VMEM before the VPU vertical pass. v2 removes both:
+
+      * the VERTICAL weight is folded INTO the selection matrix: for each
+        padded source row s, A_s[(r,x), j] = vmask(r,x,s) * cmat_r[x, j]
+        and out[r,x] += A_s[(r,x)] @ X[s] — accumulation happens in the
+        dot, no intermediate, no vertical pass;
+      * all `band` output rows stack into the dot's m dim (they share every
+        source row when band <= kv), so one dot per (source row, x-tile)
+        covers the whole band;
+      * the x axis is TILED at `tile` outputs so the contraction is the
+        tile's +-p window (tile+2p+2 <= 128 = exactly one MXU k-pass)
+        instead of the full padded width Wp.
+
+    MXU passes per output row at 256px/p=12: v1 = 2m*3k*25n = 150,
+    v2 = ceil(256/96) tiles * 32 source rows * 6m / 8 rows = 72."""
+    kv = 2 * p + 1
+    ns = band + 2 * p  # padded source rows covering the band
+    fdt = jnp.float32
+    tiles = [(t, min(tile, w - t)) for t in range(0, w, tile)]
+
+    gx = gx_ref[0].astype(fdt)   # (band, w)
+    gy = gy_ref[0].astype(fdt)
+    fx = ((gx + 1.0) * w - 1.0) * 0.5
+    fy = ((gy + 1.0) * w - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0p = jnp.clip(x0.astype(jnp.int32) + p, 0, w + 2 * p - 2)
+    # padded-window source row of the y0 tap (padded index s maps to global
+    # row band_start + s - p; row r's taps land in s in [r, r+2p])
+    sy0 = y0.astype(jnp.int32) - pl.program_id(1) * band + p
+
+    for t0, tw in tiles:
+        jj = lax.broadcasted_iota(jnp.int32, (band, tw, 128), 2)
+        x0l = (x0p[:, t0:t0 + tw] - t0)[:, :, None]
+        wxl = wx[:, t0:t0 + tw][:, :, None]
+        cm = (jnp.where(jj == x0l, 1.0 - wxl, 0.0)
+              + jnp.where(jj == x0l + 1, wxl, 0.0)).reshape(band * tw, 128)
+        syl = sy0[:, t0:t0 + tw].reshape(band * tw, 1)
+        wyl = wy[:, t0:t0 + tw].reshape(band * tw, 1)
+
+        acc = jnp.zeros((band * tw, c), fdt)
+        for s in range(ns):
+            vm = (jnp.where(syl == s, 1.0 - wyl, 0.0)
+                  + jnp.where(syl + 1 == s, wyl, 0.0))
+            a = (vm * cm).astype(xr_ref.dtype)
+            rows = xr_ref[0, t0:t0 + 128, s * c:(s + 1) * c]
+            acc = acc + lax.dot_general(a, rows, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=fdt)
+
+        for r in range(band):
+            tgt = xr_ref[0, p + t0:p + t0 + tw,
+                         (p + r) * c:(p + r + 1) * c].astype(fdt)
+            al = al_ref[0, r, t0:t0 + tw].astype(fdt)[:, None]
+            out = acc[r * tw:(r + 1) * tw] * al + tgt * (1.0 - al)
+            o_ref[0, r, t0:t0 + tw] = out.astype(o_ref.dtype)
+
+
 def mxu_warp_supported(h: int, w: int, c: int, p: int,
                        itemsize: int = 4) -> bool:
     """Shape + scoped-VMEM feasibility. The VMEM rule is probed, not
@@ -112,11 +178,30 @@ def mxu_warp_supported(h: int, w: int, c: int, p: int,
             and (BAND + 2 * p) * c * itemsize <= 16384)
 
 
-def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):
+def warp_tile(w: int, p: int) -> int:
+    """x-tile width for the v2 kernel: the largest multiple of 8 whose +-p
+    selection window (tile + 2p + 2) fits one 128-lane MXU contraction,
+    bounded so every tile's fixed 128-column window stays inside the padded
+    width. 0 = v2 not applicable at this (w, p)."""
+    t = (128 - 2 * p - 2) // 8 * 8
+    if t <= 0 or w % 8 != 0:
+        return 0
+    wp = _round_up(w + 2 * p, 128)
+    last_t0 = ((w - 1) // t) * t
+    return t if last_t0 + 128 <= wp else 0
+
+
+def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False,
+                    version: int = None):
     b, h, w, c = target.shape
     kv = 2 * p + 1
     wp = _round_up(w + 2 * p, 128)
     hp = h + 2 * p
+
+    tile = warp_tile(w, p)
+    if version is None:
+        version = int(os.environ.get("OGI_WARP_KERNEL", "2"))
+    use_v2 = version == 2 and tile > 0
 
     xp = jnp.pad(target, [(0, 0), (p, p), (p, p + (wp - w - 2 * p)), (0, 0)])
     xr = jnp.transpose(xp, (0, 2, 1, 3)).reshape(b, wp, hp * c)
@@ -124,9 +209,17 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):
     gy = grid[..., 1]
     al = alpha[..., 0] if alpha.ndim == 4 else alpha
 
+    if use_v2:
+        kern = functools.partial(_warp_kernel_v2, w=w, c=c, p=p, band=BAND,
+                                 tile=tile)
+        flops = 2 * b * h * w * (BAND + 2 * p) * 128 * c // BAND
+    else:
+        kern = functools.partial(_warp_kernel, w=w, c=c, p=p, band=BAND)
+        flops = 2 * b * h * w * wp * kv * c
+
     elem = lambda sizes: tuple(pl.Element(sz) for sz in sizes)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, w=w, c=c, p=p, band=BAND),
+        kern,
         grid=(b, h // BAND),
         in_specs=[
             pl.BlockSpec(elem((1, wp, (BAND + 2 * p) * c)),
@@ -142,7 +235,7 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False):
                                lambda bi, i: (bi, i * BAND, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), target.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * wp * kv * c, transcendentals=0,
+            flops=flops, transcendentals=0,
             bytes_accessed=(2 * target.size + 3 * b * h * w)
             * target.dtype.itemsize),
         interpret=interpret,

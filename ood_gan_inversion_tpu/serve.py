@@ -208,6 +208,12 @@ class BatchingServer:
                         image = image.astype(np.float16)
                         mask = mask.astype(np.float16) if mask is not None \
                             else None
+                    else:
+                        # only float16/float32 are supported: echoing an
+                        # arbitrary requested dtype while the body stays
+                        # float32 would make a conforming client misparse
+                        # the payload (advisor r4)
+                        rdt = "float32"
                     body = image.tobytes() + (mask.tobytes() if mask is not None else b"")
                     extra = (b"x-shape: " + json.dumps(list(image.shape)).encode()
                              + b"\r\nx-dtype: " + rdt.encode()

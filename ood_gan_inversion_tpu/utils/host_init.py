@@ -26,10 +26,38 @@ import tempfile
 
 _CACHE_DIR = os.environ.get("OGI_INIT_CACHE", "/tmp/ogi_init_cache")
 
+_CODE_VERSION = None
+
+
+def _code_version():
+    """Hash of every .py source in the package: shape-preserving init/arch
+    code changes must invalidate cached trees (advisor r4 — previously a
+    stale tree survived any code change that kept shapes)."""
+    global _CODE_VERSION
+    if _CODE_VERSION is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for name in sorted(f for f in files if f.endswith(".py")):
+                p = os.path.join(root, name)
+                h.update(os.path.relpath(p, pkg).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CODE_VERSION = h.hexdigest()[:12]
+    return _CODE_VERSION
+
 
 def _cache_key(arch_opt, shape, seed, extra):
-    blob = json.dumps([arch_opt, list(shape), seed, extra], sort_keys=True,
-                      default=str).encode()
+    """None (= do not cache) when the opt isn't plainly JSON-serializable:
+    json default=str would stringify object reprs, whose embedded addresses
+    change every process and defeat/alias cache entries (advisor r4)."""
+    try:
+        blob = json.dumps(
+            [arch_opt, list(shape), seed, extra, _code_version()],
+            sort_keys=True).encode()
+    except TypeError:
+        return None
     return hashlib.sha1(blob).hexdigest()[:20]
 
 
@@ -39,7 +67,8 @@ def cpu_init_params(arch_opt, shape=(1, 1024, 1024, 3), seed=0,
     numpy param tree (device_put it wherever needed). Cached on disk."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = _cache_key(arch_opt, shape, seed, {"mod_size": mod_size})
-    path = os.path.join(_CACHE_DIR, key + ".pkl")
+    cache = cache and key is not None
+    path = os.path.join(_CACHE_DIR, (key or "uncached") + ".pkl")
     if cache and os.path.exists(path):
         with open(path, "rb") as f:
             return pickle.load(f)
@@ -59,13 +88,15 @@ def cpu_init_params(arch_opt, shape=(1, 1024, 1024, 3), seed=0,
             env=env, check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
-        os.replace(out_path, path)
+        with open(out_path, "rb") as f:
+            tree = pickle.load(f)
+        if cache:
+            os.replace(out_path, path)
     finally:
         os.unlink(spec_path)
         if os.path.exists(out_path):
             os.unlink(out_path)
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    return tree
 
 
 def cpu_init_model_state(model_opt, sample_shape, seed=0, cache=True):
@@ -75,7 +106,8 @@ def cpu_init_model_state(model_opt, sample_shape, seed=0, cache=True):
     pathological per-op compile costs as net.init."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = _cache_key(model_opt, sample_shape, seed, {"kind": "model_state"})
-    path = os.path.join(_CACHE_DIR, key + ".pkl")
+    cache = cache and key is not None
+    path = os.path.join(_CACHE_DIR, (key or "uncached") + ".pkl")
     if cache and os.path.exists(path):
         with open(path, "rb") as f:
             return pickle.load(f)
@@ -95,13 +127,15 @@ def cpu_init_model_state(model_opt, sample_shape, seed=0, cache=True):
             env=env, check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
-        os.replace(out_path, path)
+        with open(out_path, "rb") as f:
+            tree = pickle.load(f)
+        if cache:
+            os.replace(out_path, path)
     finally:
         os.unlink(spec_path)
         if os.path.exists(out_path):
             os.unlink(out_path)
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    return tree
 
 
 def _worker(spec_path, out_path):

@@ -27,11 +27,11 @@ def main():
     ap.add_argument("--port", type=int, default=8471)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
-    ap.add_argument("--split-below", type=int, default=0,
+    ap.add_argument("--split-below", type=int, default=7,
                     help="dispatch coalesced groups smaller than this as "
                          "batch-1 calls (mitigates the v5e intermediate-"
-                         "batch collapse, PERF.md r4; 7 = measured "
-                         "break-even there)")
+                         "batch collapse, PERF.md r4; default 7 = measured "
+                         "break-even there; 0 disables)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile every dispatchable batch shape before "
                          "accepting traffic (no compile stall on first hits)")

@@ -146,6 +146,10 @@ def _ref_opt():
             "mixing_prob": 0.9,
             "net_d_reg_every": 2, "net_g_reg_every": 10 ** 9,
             "pix_opt": {"type": "MSELoss", "loss_weight": 1.0},
+            # ldm_opt is a generic registry-built loss on (fake_hr, gt) in
+            # the reference (OOD_faceGAN_model.py:183-186, 698-703); pin the
+            # wiring with an MSE instance
+            "ldm_opt": {"type": "MSELoss", "loss_weight": 0.7},
             "mask_opt": {"type": "MaskLoss", "loss_weight": 5.0,
                          "loss_func": dict(MASK_CFG)},
             "which_gt": "gt",
@@ -181,6 +185,7 @@ def _our_opt():
             "r1_reg_weight": 10.0, "path_reg_weight": 2.0,
             "net_d_reg_every": 2, "net_g_reg_every": 10 ** 9,
             "pix_opt": {"type": "MSELoss", "loss_weight": 1.0},
+            "ldm_opt": {"type": "MSELoss", "loss_weight": 0.7},
             "mask_opt": {"type": "MaskLoss", "loss_weight": 5.0,
                          "loss_func": dict(MASK_CFG)},
             "which_gt": "gt",
@@ -293,8 +298,8 @@ def test_trainstep_losses_golden(golden, current_iter, extra_keys):
     new_state, logs = golden["model_j"].train_step(
         state, golden["batch_j"], jax.random.PRNGKey(3), current_iter)
 
-    keys = ("l_d", "real_score", "fake_score", "l_g", "l_pix", "l_bin",
-            "l_area") + tuple(extra_keys)
+    keys = ("l_d", "real_score", "fake_score", "l_g", "l_pix", "l_ldm",
+            "l_bin", "l_area") + tuple(extra_keys)
     for key in keys:
         assert key in ref_logs, f"reference did not log {key}"
         assert key in logs, f"we did not log {key}"
