@@ -122,6 +122,22 @@ def main():
     float(np.asarray(out))
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # XLA cost analysis of the compiled program: pipeline FLOPs -> achieved
+    # TFLOP/s and MFU (r5 VERDICT ask #4 — a hard hardware-efficiency number
+    # next to the soft A100-equivalent anchor). Pallas kernels contribute
+    # their declared CostEstimate flops. v5e bf16 peak: 197 TFLOP/s/chip.
+    flops = None
+    try:
+        ca = fwd.lower(params, x, jax.random.PRNGKey(1)).compile() \
+                .cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca["flops"])
+        print(f"pipeline cost-analysis: {flops / 1e9:.1f} GFLOP/img, "
+              f"{float(ca.get('bytes accessed', 0)) / 1e9:.2f} GB accessed",
+              file=sys.stderr)
+    except Exception as e:  # cost analysis is best-effort on this backend
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+
     iters = int(os.environ.get("BENCH_ITERS", "23"))
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     keys = [jax.random.PRNGKey(100 + i) for i in range(32)]
@@ -156,11 +172,25 @@ def main():
         print(f"batch-{bb}: {bdt_ms / bb:.2f} ms/img "
               f"({batch_ips:.1f} imgs/s)", file=sys.stderr)
 
+    V5E_BF16_PEAK_TFLOPS = 197.0
+    mfu_fields = {}
+    if flops is not None:
+        ach = flops / dt / 1e12
+        mfu_fields = {
+            "pipeline_gflops_per_img": round(flops / 1e9, 1),
+            "achieved_tflops": round(ach, 2),
+            "mfu": round(ach / V5E_BF16_PEAK_TFLOPS, 4),
+        }
+        print(f"achieved {ach:.1f} TFLOP/s = "
+              f"{100 * ach / V5E_BF16_PEAK_TFLOPS:.1f}% MFU (bf16 peak "
+              f"{V5E_BF16_PEAK_TFLOPS:.0f})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "celebahq_1024px_inversions_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "imgs/sec",
         "vs_baseline": round(ips / A100_EQUIV_BASELINE, 3),
+        **mfu_fields,
         # sustained (tunnel-contention-inclusive) figures alongside the min
         "mean_imgs_per_sec": round(1.0 / mean_dt, 3),
         "window_ms_mean": round(mean_dt * 1000, 2),

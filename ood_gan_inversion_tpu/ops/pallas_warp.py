@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import grid_sample_bilinear
 
+# kernel formulation: 1 = per-output-row full-window dot (column-major
+# prepped layout), 2/3 = x-tiled lower-FLOP variants (measured SLOWER
+# standalone, PERF.md r5), 4 = natural-NHWC-layout per-source-row dots (no
+# host-side transpose prep). Read at trace time.
+_KERNEL_VERSION = int(os.environ.get("OGI_WARP_KERNEL", "1"))
+
 BAND = 8  # output rows per grid step. Fixed at 8: the fp32 grid/alpha
 # blocks are (band, w)-shaped and Pallas requires the sublane dim divisible
 # by 8, so smaller bands do not lower; larger ones were never needed (the
@@ -144,15 +150,16 @@ def _warp_kernel_v2(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
         x0l = (x0p[:, t0:t0 + tw] - t0)[:, :, None]
         wxl = wx[:, t0:t0 + tw][:, :, None]
         cm = (jnp.where(jj == x0l, 1.0 - wxl, 0.0)
-              + jnp.where(jj == x0l + 1, wxl, 0.0)).reshape(band * tw, 128)
-        syl = sy0[:, t0:t0 + tw].reshape(band * tw, 1)
-        wyl = wy[:, t0:t0 + tw].reshape(band * tw, 1)
+              + jnp.where(jj == x0l + 1, wxl, 0.0))   # (band, tw, 128)
+        syl = sy0[:, t0:t0 + tw]                      # (band, tw)
+        wyl = wy[:, t0:t0 + tw]
 
         acc = jnp.zeros((band * tw, c), fdt)
         for s in range(ns):
             vm = (jnp.where(syl == s, 1.0 - wyl, 0.0)
                   + jnp.where(syl + 1 == s, wyl, 0.0))
-            a = (vm * cm).astype(xr_ref.dtype)
+            a = ((vm[:, :, None] * cm)
+                 .reshape(band * tw, 128).astype(xr_ref.dtype))
             rows = xr_ref[0, t0:t0 + 128, s * c:(s + 1) * c]
             acc = acc + lax.dot_general(a, rows, (((1,), (0,)), ((), ())),
                                         preferred_element_type=fdt)
@@ -160,6 +167,112 @@ def _warp_kernel_v2(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
         for r in range(band):
             tgt = xr_ref[0, p + t0:p + t0 + tw,
                          (p + r) * c:(p + r + 1) * c].astype(fdt)
+            al = al_ref[0, r, t0:t0 + tw].astype(fdt)[:, None]
+            out = acc[r * tw:(r + 1) * tw] * al + tgt * (1.0 - al)
+            o_ref[0, r, t0:t0 + tw] = out.astype(o_ref.dtype)
+
+
+def _warp_kernel_v3(xr_ref, gx_ref, gy_ref, al_ref, o_ref, *,
+                    w: int, c: int, p: int, band: int, tile: int):
+    """x-tiled v1 (r5): keeps v1's one-dot-per-output-row structure and its
+    cheap VPU vertical pass, but tiles the x axis so the horizontal
+    selection contraction is the tile's +-p window (tile+2p+2 <= 128, one
+    MXU k-pass) instead of the full padded width Wp — the same 2x MXU-pass
+    reduction as the per-source-row v2 decomposition without its 4x dot
+    count and per-dot VPU rebuild (v2 measured SLOWER than v1 standalone:
+    PERF.md r5 warp table)."""
+    kv = 2 * p + 1
+    fdt = jnp.float32
+    tiles = [(t, min(tile, w - t)) for t in range(0, w, tile)]
+
+    for r in range(band):
+        gx = gx_ref[0, r].astype(fdt)
+        gy = gy_ref[0, r].astype(fdt)
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * w - 1.0) * 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = fx - x0
+        wy = fy - y0
+        x0p = jnp.clip(x0.astype(jnp.int32) + p, 0, w + 2 * p - 2)
+        row_global = pl.program_id(1) * band + r
+        ky0 = y0.astype(jnp.int32) - row_global + p
+
+        for t0, tw in tiles:
+            jj = lax.broadcasted_iota(jnp.int32, (tw, 128), 1)
+            x0l = (x0p[t0:t0 + tw] - t0)[:, None]
+            wxl = wx[t0:t0 + tw][:, None]
+            cmat = (jnp.where(jj == x0l, 1.0 - wxl, 0.0)
+                    + jnp.where(jj == x0l + 1, wxl, 0.0))
+            rows = xr_ref[0, t0:t0 + 128, r * c:(r + kv) * c]
+            g = lax.dot_general(cmat.astype(rows.dtype), rows,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=fdt)
+
+            kyl = ky0[t0:t0 + tw]
+            wyl = wy[t0:t0 + tw]
+            out = jnp.zeros((tw, c), fdt)
+            for k in range(kv - 1):
+                m = (jnp.where(kyl == k, 1.0 - wyl, 0.0)
+                     + jnp.where(kyl + 1 == k, wyl, 0.0))
+                out = out + m[:, None] * g[:, k * c:(k + 1) * c]
+            m = jnp.where(kyl + 1 == kv - 1, wyl, 0.0)
+            out = out + m[:, None] * g[:, (kv - 1) * c:kv * c]
+
+            tgt = xr_ref[0, p + t0:p + t0 + tw,
+                         (r + p) * c:(r + p + 1) * c].astype(fdt)
+            al = al_ref[0, r, t0:t0 + tw].astype(fdt)[:, None]
+            o_ref[0, r, t0:t0 + tw] = (out * al + tgt * (1.0 - al)) \
+                .astype(o_ref.dtype)
+
+
+def _warp_kernel_v4(xn_ref, gx_ref, gy_ref, al_ref, o_ref, *,
+                    w: int, c: int, p: int, band: int, tile: int):
+    """NATURAL-LAYOUT per-source-row kernel (r5). Same folded-selection
+    structure as v2 — for each padded source row s and x-tile,
+    out += (vm_s * cmat) @ X[s] — but reading the feature in its native
+    NHWC layout: the dot's B operand is X[s, t0:t0+128, :] with the column
+    axis on sublanes, so the HOST-side pad+transpose+reshape that v1-v3
+    require (a full-feature layout copy per call, plus XLA relayout copies
+    to satisfy the custom call's column-major operand constraint) vanishes.
+    Standalone the v1 dot shape is ~10% faster, but in-pipeline the prep
+    transpose costs more than that (PERF.md r5 warp tables)."""
+    fdt = jnp.float32
+    tiles = [(t, min(tile, w - t)) for t in range(0, w, tile)]
+    ns = band + 2 * p
+
+    gx = gx_ref[0].astype(fdt)   # (band, w)
+    gy = gy_ref[0].astype(fdt)
+    fx = ((gx + 1.0) * w - 1.0) * 0.5
+    fy = ((gy + 1.0) * w - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0p = jnp.clip(x0.astype(jnp.int32) + p, 0, w + 2 * p - 2)
+    sy0 = y0.astype(jnp.int32) - pl.program_id(1) * band + p
+
+    for t0, tw in tiles:
+        jj = lax.broadcasted_iota(jnp.int32, (band, tw, 128), 2)
+        x0l = (x0p[:, t0:t0 + tw] - t0)[:, :, None]
+        wxl = wx[:, t0:t0 + tw][:, :, None]
+        cm = (jnp.where(jj == x0l, 1.0 - wxl, 0.0)
+              + jnp.where(jj == x0l + 1, wxl, 0.0))   # (band, tw, 128)
+        syl = sy0[:, t0:t0 + tw]                      # (band, tw)
+        wyl = wy[:, t0:t0 + tw]
+
+        acc = jnp.zeros((band * tw, c), fdt)
+        for s in range(ns):
+            vm = (jnp.where(syl == s, 1.0 - wyl, 0.0)
+                  + jnp.where(syl + 1 == s, wyl, 0.0))
+            a = ((vm[:, :, None] * cm)
+                 .reshape(band * tw, 128).astype(xn_ref.dtype))
+            rows = xn_ref[0, s, t0:t0 + 128, :]
+            acc = acc + lax.dot_general(a, rows, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=fdt)
+
+        for r in range(band):
+            tgt = xn_ref[0, p + r, p + t0:p + t0 + tw, :].astype(fdt)
             al = al_ref[0, r, t0:t0 + tw].astype(fdt)[:, None]
             out = acc[r * tw:(r + 1) * tw] * al + tgt * (1.0 - al)
             o_ref[0, r, t0:t0 + tw] = out.astype(o_ref.dtype)
@@ -200,8 +313,44 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False,
 
     tile = warp_tile(w, p)
     if version is None:
-        version = int(os.environ.get("OGI_WARP_KERNEL", "2"))
+        version = _KERNEL_VERSION
     use_v2 = version == 2 and tile > 0
+
+    gxn = grid[..., 0]
+    gyn = grid[..., 1]
+    aln = alpha[..., 0] if alpha.ndim == 4 else alpha
+    if version == 4 and tile > 0:
+        # natural-layout path: pad only — no transpose/reshape prep
+        last_t0 = ((w - 1) // tile) * tile
+        wp_r = max(w + 2 * p, last_t0 + 128)
+        xn = jnp.pad(target,
+                     [(0, 0), (p, p), (p, wp_r - w - p), (0, 0)])
+        ns = BAND + 2 * p
+        elem = lambda sizes: tuple(pl.Element(sz) for sz in sizes)
+        return pl.pallas_call(
+            functools.partial(_warp_kernel_v4, w=w, c=c, p=p, band=BAND,
+                              tile=tile),
+            grid=(b, h // BAND),
+            in_specs=[
+                pl.BlockSpec(elem((1, ns, wp_r, c)),
+                             lambda bi, i: (bi, i * BAND, 0, 0)),
+                pl.BlockSpec(elem((1, BAND, w)),
+                             lambda bi, i: (bi, i * BAND, 0)),
+                pl.BlockSpec(elem((1, BAND, w)),
+                             lambda bi, i: (bi, i * BAND, 0)),
+                pl.BlockSpec(elem((1, BAND, w)),
+                             lambda bi, i: (bi, i * BAND, 0)),
+            ],
+            out_specs=pl.BlockSpec(elem((1, BAND, w, c)),
+                                   lambda bi, i: (bi, i * BAND, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, w, c), target.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * w * ns * 128 * c // BAND,
+                transcendentals=0,
+                bytes_accessed=(2 * target.size + 3 * b * h * w)
+                * target.dtype.itemsize),
+            interpret=interpret,
+        )(xn, gxn, gyn, aln)
 
     xp = jnp.pad(target, [(0, 0), (p, p), (p, p + (wp - w - 2 * p)), (0, 0)])
     xr = jnp.transpose(xp, (0, 2, 1, 3)).reshape(b, wp, hp * c)
@@ -209,7 +358,17 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False,
     gy = grid[..., 1]
     al = alpha[..., 0] if alpha.ndim == 4 else alpha
 
-    if use_v2:
+    comp_params = None
+    if version == 3 and tile > 0:
+        kern = functools.partial(_warp_kernel_v3, w=w, c=c, p=p, band=BAND,
+                                 tile=tile)
+        flops = 2 * b * h * w * 128 * kv * c
+        # the x-tiled per-(row,tile) g intermediates push Mosaic's stack
+        # past the default 16M scoped-VMEM limit (measured 29.2M at
+        # 256px/c128); a per-kernel raise is NOT the global flag regression
+        # of PERF.md r4 (that squeezed the whole pipeline's prefetch budget)
+        comp_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+    elif use_v2:
         kern = functools.partial(_warp_kernel_v2, w=w, c=c, p=p, band=BAND,
                                  tile=tile)
         flops = 2 * b * h * w * (BAND + 2 * p) * 128 * c // BAND
@@ -239,6 +398,7 @@ def _warp_blend_fwd(target, grid, alpha, p: int, interpret: bool = False,
             bytes_accessed=(2 * target.size + 3 * b * h * w)
             * target.dtype.itemsize),
         interpret=interpret,
+        **({"compiler_params": comp_params} if comp_params else {}),
     )(xr, gx, gy, al)
     return out
 

@@ -37,7 +37,7 @@ def _round_pow2(n):
 
 class BatchingServer:
     def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0,
-                 mesh=None, split_below: int = 0):
+                 mesh=None, split_below: int = 0, fetch: str = "full"):
         """`mesh`: optional jax.sharding.Mesh — coalesced batches are then
         data-sharded across its devices (multi-chip serving), padded so the
         batch divides the mesh size.
@@ -55,6 +55,14 @@ class BatchingServer:
         self.max_wait_ms = max_wait_ms
         self.mesh = mesh
         self.split_below = split_below
+        # fetch="probe": replies carry a 1x1 probe pixel instead of the full
+        # image — a MEASUREMENT mode (tools/prof/prof_serve_hw.py loopback)
+        # that exercises the real collector/batch/split logic at device
+        # rates on hosts whose device link would otherwise dominate (the r4
+        # axon tunnel moves ~12 MB/s; a full 1024px reply is ~6-16 MB). The
+        # batch compute still runs in full on device; the probe fetch is
+        # the completion barrier.
+        self.fetch = fetch
         self._queue: asyncio.Queue = asyncio.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded": 0, "split": 0}
         self._collector_task = None
@@ -67,6 +75,19 @@ class BatchingServer:
             b = max(-(-b // m) * m, m)
         return b
 
+    def _fetch(self, out):
+        """Device->host fetch of a dispatch's outputs (the serving link
+        cost). fetch="probe" pulls a 1x1 probe per sample instead — the
+        stable slice shapes keep it one cached XLA slice program per batch
+        size (warmed by warmup())."""
+        img, msk = out["image"], out["mask"]
+        if self.fetch == "probe":
+            img = img[:, :1, :1, :]
+            msk = msk[:, :1, :1] if msk is not None else None
+        image = np.asarray(img).astype(np.float32)
+        mask = np.asarray(msk).astype(np.float32) if msk is not None else None
+        return image, mask
+
     def _run_batch(self, imgs):
         n = len(imgs)
         if (self.mesh is None and 1 < n < self.split_below):
@@ -76,13 +97,13 @@ class BatchingServer:
             # order ULPs (per-sample noise keys + per-sample InstanceNorm
             # make rows batch-invariant; tests/test_serve.py split test).
             keys = np.asarray(jax.random.PRNGKey(0))[None]
-            outs = [self.engine.invert_batch_perkey([im], keys)
-                    for im in imgs]
+            fetched = [self._fetch(self.engine.invert_batch_perkey([im], keys))
+                       for im in imgs]
             self._stats["split"] += n
-            image = np.concatenate([np.asarray(o["image"]) for o in outs], 0)
-            mask = (np.concatenate([np.asarray(o["mask"]) for o in outs], 0)
-                    if outs[0]["mask"] is not None else None)
-            return {"image": image, "mask": mask}, n
+            image = np.concatenate([f[0] for f in fetched], 0)
+            mask = (np.concatenate([f[1] for f in fetched], 0)
+                    if fetched[0][1] is not None else None)
+            return (image, mask), n
         b = self._batch_size_for(n)
         imgs = list(imgs)
         if b > n:                      # pad to the compiled batch shape
@@ -96,7 +117,7 @@ class BatchingServer:
                                                           self.mesh)
         else:
             out = self.engine.invert_batch_perkey(imgs, keys)
-        return out, n
+        return self._fetch(out), n
 
     def warmup(self):
         """Pre-compile every dispatchable batch shape with dummy inputs so
@@ -146,12 +167,11 @@ class BatchingServer:
                 continue
             self._stats["requests"] += n
             self._stats["batches"] += 1
-            # fetch in the device dtype (bf16 serving config halves the
-            # bytes through the host link — at r4's measured ~12 MB/s fetch
-            # rate the transfer dominates reply latency) and upcast on host
-            image = np.asarray(out["image"]).astype(np.float32)
-            mask = (np.asarray(out["mask"]).astype(np.float32)
-                    if out["mask"] is not None else None)
+            # _fetch pulled the arrays in the device dtype (bf16 serving
+            # config halves the bytes through the host link — at r4's
+            # measured ~12 MB/s fetch rate the transfer dominates reply
+            # latency) and upcast on host
+            image, mask = out
             for i, (_, fut) in enumerate(batch):
                 if not fut.done():
                     fut.set_result(

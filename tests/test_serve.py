@@ -263,3 +263,28 @@ def test_split_small_batches_matches_batched(engine):
         np.testing.assert_allclose(si, pi, rtol=0, atol=1e-4)
         if pm is not None:
             np.testing.assert_allclose(sm, pm, rtol=0, atol=1e-4)
+
+
+def test_probe_fetch_mode(engine):
+    """fetch="probe" (the loopback load-test mode) replies with 1x1 probes
+    that equal the full reply's corner pixel, on both the batched and the
+    split dispatch paths."""
+    rs = np.random.RandomState(7)
+    imgs = [rs.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=50.0,
+                         fetch="probe", split_below=4)
+
+    async def run():
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(im) for im in imgs])
+        await srv.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    assert srv.stats["split"] >= 2   # the split path ran at least once
+    for im, (image, mask) in zip(imgs, outs):
+        assert image.shape[:2] == (1, 1)
+        ref = engine.invert_batch_perkey(
+            [im], np.asarray(jax.random.PRNGKey(0))[None])
+        np.testing.assert_allclose(
+            image[0, 0], np.asarray(ref["image"][0, 0, 0]), atol=1e-5)

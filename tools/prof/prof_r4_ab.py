@@ -59,6 +59,17 @@ CONFIG_TABLE["sammfp32_off"] = {arch_common: {"_SAMM_FP32": False}}
 # after the r4 default flip (OGI_SAMM_FP32_INFER=0), "base" is already the
 # bf16 inference island; this restores the old fp32 island for reference
 CONFIG_TABLE["fp32island_on"] = {arch_common: {"_SAMM_FP32_INFER": True}}
+# r5 warp kernel formulations (ops/pallas_warp.py _KERNEL_VERSION)
+from ood_gan_inversion_tpu.ops import pallas_warp as pw_mod
+CONFIG_TABLE["warpv4"] = {pw_mod: {"_KERNEL_VERSION": 4}}
+CONFIG_TABLE["warpv4_b1"] = {pw_mod: {"_KERNEL_VERSION": 4},
+                             samm: {"_MXU_WARP": "1", "_MXU_WARP_MIN": 128}}
+CONFIG_TABLE["warpv1_b1"] = {samm: {"_MXU_WARP": "1", "_MXU_WARP_MIN": 128}}
+CONFIG_TABLE["warpv3"] = {pw_mod: {"_KERNEL_VERSION": 3}}
+# BAND=16 halves the per-band window overlap fetch (each band re-fetches
+# its +-p halo; at band=8/p=12 the duplication is 4x). bf16-only: the fp32
+# (16+2p)*c row window exceeds the 16K minor-dim VMEM rule.
+CONFIG_TABLE["band16"] = {pw_mod: {"BAND": 16}}
 
 CONFIGS = os.environ.get(
     "CONFIGS", "base,tctx0,egroup0,tctx0_egroup0").split(",")

@@ -10,6 +10,12 @@ serving row exists to compare against; these are our numbers to beat.
 
 Env: CLIENTS (default "1,4,8"), REQS per client (default 24),
 MAX_WAIT_MS (default 5).
+
+LOOPBACK=1 (r5 VERDICT ask #7): replies carry a 1x1 probe instead of the
+full image (BatchingServer fetch="probe") so the collector/batch/split
+logic is exercised at DEVICE rates instead of the ~12 MB/s relay-tunnel
+rate that made the r4 table host-link-bound; rows run with the measured
+split_below=7 policy and with split_below=0 for comparison.
 """
 import asyncio
 import os, sys, time
@@ -50,30 +56,39 @@ async def drive(srv, n_clients, img):
 def main():
     print("device:", [d for d in jax.devices() if d.platform != "cpu"][0],
           file=sys.stderr)
+    loopback = os.environ.get("LOOPBACK") == "1"
     engine = InversionEngine(OPT)
-    srv = BatchingServer(engine, max_batch=8, max_wait_ms=WAIT)
-    t0 = time.time()
-    sizes = srv.warmup()
-    print(f"warmup: compiled batch sizes {sizes} in {time.time() - t0:.0f}s",
-          file=sys.stderr)
+    fetch = "probe" if loopback else "full"
+    variants = ([("split7", 7), ("split0", 0)] if loopback
+                else [("", 0)])
     img = (np.random.RandomState(0).rand(1024, 1024, 3) * 0.9).astype(
         np.float32)
 
-    async def run_all():
-        await srv.start()
-        for n in [int(v) for v in
-                  os.environ.get("CLIENTS", "1,4,8").split(",")]:
-            lats, wall = await drive(srv, n, img)   # first pass warms pacing
-            lats, wall = await drive(srv, n, img)
-            thr = len(lats) / wall
-            print(f"clients={n:2d}  p50 {np.percentile(lats, 50) * 1000:7.1f} ms"
-                  f"  p99 {np.percentile(lats, 99) * 1000:7.1f} ms"
-                  f"  throughput {thr:5.1f} req/s"
-                  f"  ({len(lats)} reqs in {wall:.1f}s)", file=sys.stderr)
-        await srv.stop()
-        print("server stats:", srv.stats, file=sys.stderr)
+    for tag, sb in variants:
+        srv = BatchingServer(engine, max_batch=8, max_wait_ms=WAIT,
+                             split_below=sb, fetch=fetch)
+        t0 = time.time()
+        sizes = srv.warmup()
+        print(f"{tag} warmup: compiled batch sizes {sizes} in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
 
-    asyncio.run(run_all())
+        async def run_all():
+            await srv.start()
+            for n in [int(v) for v in
+                      os.environ.get("CLIENTS", "1,4,8").split(",")]:
+                lats, wall = await drive(srv, n, img)  # warms pacing
+                lats, wall = await drive(srv, n, img)
+                thr = len(lats) / wall
+                print(f"{tag:7s} clients={n:2d}"
+                      f"  p50 {np.percentile(lats, 50) * 1000:7.1f} ms"
+                      f"  p99 {np.percentile(lats, 99) * 1000:7.1f} ms"
+                      f"  throughput {thr:5.1f} req/s"
+                      f"  ({len(lats)} reqs in {wall:.1f}s)",
+                      file=sys.stderr, flush=True)
+            await srv.stop()
+            print(f"{tag} server stats:", srv.stats, file=sys.stderr)
+
+        asyncio.run(run_all())
 
 
 if __name__ == "__main__":

@@ -36,8 +36,9 @@ for b, size, c, scale in CASES:
     al = jax.device_put(jnp.asarray(rs.rand(b, size, size, 1), jnp.float32),
                         tpu)
 
-    for ver in (1, 2):
-        if ver == 2 and pw.warp_tile(size, p) == 0:
+    for ver in (int(v) for v in
+                os.environ.get("VERS", "1,2").split(",")):
+        if ver >= 2 and pw.warp_tile(size, p) == 0:
             print(f"  v2 n/a at {size}px p={p}")
             continue
         fn = jax.jit(lambda x, g, a, _v=ver: tree_sum(
