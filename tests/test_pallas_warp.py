@@ -161,3 +161,20 @@ def test_bf16_cast_warp_parity_dense_channels():
     d = float(jnp.abs(out - ref).max())
     r = float(ref.max() - ref.min())
     assert d / r < 0.01, (d, r)
+
+
+@pytest.mark.parametrize("version", [2, 3, 4])
+def test_alt_kernel_versions_match_reference(version):
+    """r5 formulation battery (PERF.md r5): v2 (per-source-row folded
+    selection), v3 (x-tiled v1), v4 (natural-layout v2) must all match the
+    reference formulation exactly; v1 stays the shipped default on the
+    measured A/Bs."""
+    b, size, c, scale = 2, 64, 128, 0.08
+    x, grid, alpha = _mk(b, size, c, scale, seed=11)
+    p = pw.max_disp_px(scale, size)
+    assert pw.warp_tile(size, p) > 0
+    ref = pw.warp_blend_reference(x, grid, alpha)
+    out = pw._warp_blend_fwd(x, grid, alpha, p, interpret=True,
+                             version=version)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
