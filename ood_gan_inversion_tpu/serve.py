@@ -91,19 +91,16 @@ class BatchingServer:
     def _run_batch(self, imgs):
         n = len(imgs)
         if (self.mesh is None and 1 < n < self.split_below):
-            # intermediate-batch collapse mitigation (see __init__): n
-            # sequential batch-1 dispatches beat one padded batch here.
-            # Per-request results equal the batched path's to reduction-
-            # order ULPs (per-sample noise keys + per-sample InstanceNorm
-            # make rows batch-invariant; tests/test_serve.py split test).
-            keys = np.asarray(jax.random.PRNGKey(0))[None]
-            fetched = [self._fetch(self.engine.invert_batch_perkey([im], keys))
-                       for im in imgs]
+            # intermediate-batch collapse mitigation (see __init__), r5
+            # form: ONE dispatch of n unrolled b=1 subgraphs (no pow2
+            # padding — each exact n is one cached program). Per-request
+            # results equal the batched path's to reduction-order ULPs
+            # (per-sample noise keys + per-sample InstanceNorm make rows
+            # batch-invariant; tests/test_serve.py split test).
+            keys = np.stack([np.asarray(jax.random.PRNGKey(0))] * n, 0)
+            out = self.engine.invert_batch_perkey_split(imgs, keys)
             self._stats["split"] += n
-            image = np.concatenate([f[0] for f in fetched], 0)
-            mask = (np.concatenate([f[1] for f in fetched], 0)
-                    if fetched[0][1] is not None else None)
-            return (image, mask), n
+            return self._fetch(out), n
         b = self._batch_size_for(n)
         imgs = list(imgs)
         if b > n:                      # pad to the compiled batch shape
@@ -121,12 +118,18 @@ class BatchingServer:
 
     def warmup(self):
         """Pre-compile every dispatchable batch shape with dummy inputs so
-        live traffic never pays the (~25 s remote) XLA compile: one forward
-        per distinct pow2 (mesh-rounded) batch size."""
+        live traffic never pays the (~25 s remote) XLA compile. With the
+        split policy active each group size 2..split_below-1 is its own
+        (exact-n, unpadded) split program; the rest are the pow2
+        (mesh-rounded) batched programs."""
         size = self.engine.out_size
         dummy = np.zeros((size, size, 3), np.float32)
         sizes = sorted({self._batch_size_for(n)
                         for n in range(1, self.max_batch + 1)})
+        if self.mesh is None and self.split_below > 2:
+            sizes = sorted(set(sizes)
+                           | set(range(2, min(self.split_below,
+                                              self.max_batch + 1))))
         for b in sizes:
             self._run_batch([dummy] * b)
         return sizes
