@@ -101,25 +101,50 @@ class InversionEngine:
         jax.block_until_ready(out["image"])
         return out
 
-    def invert_batch_perkey(self, imgs01, keys):
+    def invert_batch_perkey(self, imgs01, keys, outputs=None):
         """Batched inversion with one noise PRNGKey per sample (vmapped noise
         stream). A sample's output depends only on its own key — not on its
         slot in the coalesced batch or on the padded batch size — which makes
-        serving replies reproducible."""
+        serving replies reproducible. `outputs`: see _dispatch_perkey."""
         x = np.stack([img2input(im, self.out_size)[0] for im in imgs01], 0)
-        if not hasattr(self, "_fwd_perkey"):
-            one = lambda p, xi, k: self.net.apply(
-                {"params": p}, xi[None], mod_size=self.mod_size,
-                rngs={"noise": k})
-            self._fwd_perkey = jax.jit(
-                jax.vmap(one, in_axes=(None, 0, 0)), device=self.device)
-        out = self._fwd_perkey(self.params, jnp.asarray(x),
-                               jnp.asarray(keys))
-        out = jax.tree_util.tree_map(lambda a: a[:, 0], out)
+        out = self._dispatch_perkey(jnp.asarray(x), keys, outputs)
         jax.block_until_ready(out["image"])
         return out
 
-    def invert_batch_perkey_split(self, imgs01, keys):
+    def _dispatch_perkey(self, x, keys, outputs=None):
+        """Dispatch a preprocessed (possibly already device-resident) batch
+        — the upload-free entry used by BatchingServer.
+
+        `outputs`: optional tuple of result keys — the jitted program then
+        returns ONLY those leaves. Serving uses ("image", "mask"): every
+        extra output leaf costs a per-dispatch device-buffer handshake
+        (~5-6 ms/leaf on the axon link — PERF.md r5 dispatch-overhead
+        attribution: the full 9-leaf dict costs ~51 ms/dispatch before any
+        fetch) and XLA dead-code-eliminates the unrequested heads.
+
+        Does NOT block on completion: the caller's device->host fetch is
+        the barrier (block_until_ready costs a full host round trip per
+        dispatch on remote links — PERF.md r5 attribution). The public
+        invert_batch_* wrappers keep the blocking contract."""
+        if not hasattr(self, "_fwd_perkey"):
+            self._fwd_perkey = {}
+        if outputs not in self._fwd_perkey:
+            one = lambda p, xi, k: self.net.apply(
+                {"params": p}, xi[None], mod_size=self.mod_size,
+                rngs={"noise": k})
+            vm = jax.vmap(one, in_axes=(None, 0, 0))
+
+            # squeeze the vmap singleton INSIDE the program: host-side
+            # tree_map slicing dispatched one eager device op per output
+            # leaf (~51 ms/call on the axon link)
+            def f(p, xx, ks, _o=outputs):
+                out = jax.tree_util.tree_map(lambda a: a[:, 0],
+                                             vm(p, xx, ks))
+                return out if _o is None else {k: out[k] for k in _o}
+            self._fwd_perkey[outputs] = jax.jit(f, device=self.device)
+        return self._fwd_perkey[outputs](self.params, x, jnp.asarray(keys))
+
+    def invert_batch_perkey_split(self, imgs01, keys, outputs=None):
         """Per-sample-key inversion of n images as n UNROLLED b=1 subgraphs
         concatenated in ONE program (no vmap). Fixes the v5e intermediate-
         batch rate collapse: the vmapped b=2/4 programs run at 31.5-31.9
@@ -130,22 +155,29 @@ class InversionEngine:
         dispatches). One cached XLA program per batch size; per-sample key
         determinism matches invert_batch_perkey to reassociation ULPs."""
         x = np.stack([img2input(im, self.out_size)[0] for im in imgs01], 0)
+        out = self._dispatch_perkey_split(jnp.asarray(x), keys, outputs)
+        jax.block_until_ready(out["image"])
+        return out
+
+    def _dispatch_perkey_split(self, x, keys, outputs=None):
+        """Upload-free twin of `_dispatch_perkey` for the split programs
+        (same `outputs` subsetting contract)."""
         n = x.shape[0]
         if not hasattr(self, "_fwd_split"):
             self._fwd_split = {}
-        if n not in self._fwd_split:
-            def f(p, xx, ks, _n=n):
+        if (n, outputs) not in self._fwd_split:
+            def f(p, xx, ks, _n=n, _o=outputs):
                 outs = [self.net.apply({"params": p}, xx[i:i + 1],
                                        mod_size=self.mod_size,
                                        rngs={"noise": ks[i]})
                         for i in range(_n)]
+                if _o is not None:
+                    outs = [{k: o[k] for k in _o} for o in outs]
                 return jax.tree_util.tree_map(
                     lambda *a: jnp.concatenate(a, 0), *outs)
-            self._fwd_split[n] = jax.jit(f, device=self.device)
-        out = self._fwd_split[n](self.params, jnp.asarray(x),
-                                 jnp.asarray(keys))
-        jax.block_until_ready(out["image"])
-        return out
+            self._fwd_split[(n, outputs)] = jax.jit(f, device=self.device)
+        return self._fwd_split[(n, outputs)](self.params, x,
+                                             jnp.asarray(keys))
 
     def invert_batch_perkey_sharded(self, imgs01, keys, mesh):
         """Per-sample-key batched inversion data-sharded over a mesh (the
@@ -158,8 +190,11 @@ class InversionEngine:
             one = lambda p, xi, k: self.net.apply(
                 {"params": p}, xi[None], mod_size=self.mod_size,
                 rngs={"noise": k})
+            vm = jax.vmap(one, in_axes=(None, 0, 0))
+            # in-graph singleton squeeze (see _dispatch_perkey)
             self._pk_sharded = jax.jit(
-                jax.vmap(one, in_axes=(None, 0, 0)),
+                lambda p, xx, ks: jax.tree_util.tree_map(
+                    lambda a: a[:, 0], vm(p, xx, ks)),
                 in_shardings=(replicate_sharding(mesh),
                               batch_sharding(mesh), batch_sharding(mesh)))
             self._pk_params_src = None
@@ -173,7 +208,6 @@ class InversionEngine:
         out = self._pk_sharded(self._pk_params,
                                jax.device_put(jnp.asarray(x), sh),
                                jax.device_put(jnp.asarray(keys), sh))
-        out = jax.tree_util.tree_map(lambda a: a[:, 0], out)
         jax.block_until_ready(out["image"])
         return out
 

@@ -36,8 +36,16 @@ def _round_pow2(n):
 
 
 class BatchingServer:
+    # serving replies carry the inverted image + OOD mask; requesting ONLY
+    # those leaves from the jitted programs lets XLA DCE the latent/align
+    # debug heads and, on remote-link backends, saves the per-dispatch
+    # buffer handshake of the 7 unused output leaves (~40 ms/dispatch on
+    # the axon tunnel — PERF.md r5 dispatch-overhead attribution)
+    OUTPUTS = ("image", "mask")
+
     def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0,
-                 mesh=None, split_below: int = 0, fetch: str = "full"):
+                 mesh=None, split_below: int = 0, fetch: str = "full",
+                 staged_input=None, max_inflight: int = 1):
         """`mesh`: optional jax.sharding.Mesh — coalesced batches are then
         data-sharded across its devices (multi-chip serving), padded so the
         batch divides the mesh size.
@@ -63,6 +71,31 @@ class BatchingServer:
         # batch compute still runs in full on device; the probe fetch is
         # the completion barrier.
         self.fetch = fetch
+        # staged_input: a single (H, W, 3) [0,1] image pre-staged ON DEVICE
+        # at init; dispatches then build their batch by device-side concat
+        # instead of uploading request bodies (request payloads are
+        # ignored). MEASUREMENT mode, pairing with fetch="probe": with both
+        # set, neither the request nor the reply crosses the host link, so
+        # the collector/batch/split logic is observable at device rates
+        # even over the ~12 MB/s axon tunnel (a 1024px fp32 request body
+        # alone costs ~1 s there — PERF.md r5 loopback).
+        self._staged = None
+        if staged_input is not None:
+            if mesh is not None:
+                raise ValueError("staged_input is single-device only")
+            from .utils.img_util import img2input
+            self._staged = jax.device_put(
+                jnp.asarray(img2input(staged_input, engine.out_size)),
+                engine.device)
+        # max_inflight: number of coalesced batches allowed in flight at
+        # once. 1 = classic lockstep (form, dispatch, await, repeat). 2+
+        # pipelines dispatches: batch k+1's compute is enqueued while batch
+        # k's completion fetch is still in its host round-trip, hiding the
+        # per-dispatch RTT (~29 ms on the axon tunnel) behind device work.
+        # Device execution stays in-order; replies stay per-request-correct
+        # (futures are resolved per batch). Requires warmup() first so
+        # concurrent executor threads never race a compile.
+        self.max_inflight = max(1, int(max_inflight))
         self._queue: asyncio.Queue = asyncio.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded": 0, "split": 0}
         self._collector_task = None
@@ -77,13 +110,28 @@ class BatchingServer:
 
     def _fetch(self, out):
         """Device->host fetch of a dispatch's outputs (the serving link
-        cost). fetch="probe" pulls a 1x1 probe per sample instead — the
-        stable slice shapes keep it one cached XLA slice program per batch
-        size (warmed by warmup())."""
+        cost). fetch="probe" pulls a tiny packed probe per sample instead:
+        ONE jitted packer gathers the corner pixel + mask value into a
+        single (b, 4) array so the completion barrier costs one device
+        round trip, not two eager slices + two fetches (~45 ms/dispatch on
+        the axon link — PERF.md r5 dispatch-overhead attribution). One
+        cached packer program per batch size, warmed by warmup()."""
         img, msk = out["image"], out["mask"]
         if self.fetch == "probe":
-            img = img[:, :1, :1, :]
-            msk = msk[:, :1, :1] if msk is not None else None
+            if not hasattr(self, "_probe_pack"):
+                def pack(img, msk):
+                    p = img[:, 0, 0, :3].astype(jnp.float32)
+                    if msk is not None:
+                        p = jnp.concatenate(
+                            [p, msk[:, 0, 0].reshape(-1, 1)
+                                   .astype(jnp.float32)], -1)
+                    return p
+                self._probe_pack = jax.jit(pack)
+            packed = np.asarray(self._probe_pack(img, msk))
+            image = packed[:, :3].reshape(-1, 1, 1, 3)
+            mask = (packed[:, 3].reshape(-1, 1, 1)
+                    if packed.shape[1] > 3 else None)
+            return image, mask
         image = np.asarray(img).astype(np.float32)
         mask = np.asarray(msk).astype(np.float32) if msk is not None else None
         return image, mask
@@ -98,7 +146,13 @@ class BatchingServer:
             # (per-sample noise keys + per-sample InstanceNorm make rows
             # batch-invariant; tests/test_serve.py split test).
             keys = np.stack([np.asarray(jax.random.PRNGKey(0))] * n, 0)
-            out = self.engine.invert_batch_perkey_split(imgs, keys)
+            if self._staged is not None:
+                out = self.engine._dispatch_perkey_split(
+                    jnp.concatenate([self._staged] * n, 0), keys,
+                    self.OUTPUTS)
+            else:
+                out = self.engine.invert_batch_perkey_split(imgs, keys,
+                                                            self.OUTPUTS)
             self._stats["split"] += n
             return self._fetch(out), n
         b = self._batch_size_for(n)
@@ -112,8 +166,11 @@ class BatchingServer:
         if self.mesh is not None:
             out = self.engine.invert_batch_perkey_sharded(imgs, keys,
                                                           self.mesh)
+        elif self._staged is not None:
+            out = self.engine._dispatch_perkey(
+                jnp.concatenate([self._staged] * b, 0), keys, self.OUTPUTS)
         else:
-            out = self.engine.invert_batch_perkey(imgs, keys)
+            out = self.engine.invert_batch_perkey(imgs, keys, self.OUTPUTS)
         return self._fetch(out), n
 
     def warmup(self):
@@ -134,12 +191,42 @@ class BatchingServer:
             self._run_batch([dummy] * b)
         return sizes
 
+    async def _complete(self, dispatch, batch, sem):
+        """Await one in-flight dispatch and resolve its batch's futures."""
+        try:
+            out, n = await dispatch
+        except Exception as e:
+            # a bad request (shape mismatch, OOM, ...) must not kill the
+            # collector: fail this batch's futures and keep serving
+            self._stats["errors"] = self._stats.get("errors", 0) + len(batch)
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(
+                        RuntimeError(f"batch dispatch failed: {e!r}"))
+            return
+        finally:
+            sem.release()
+        self._stats["requests"] += n
+        self._stats["batches"] += 1
+        # _fetch pulled the arrays in the device dtype (bf16 serving
+        # config halves the bytes through the host link — at r4's
+        # measured ~12 MB/s fetch rate the transfer dominates reply
+        # latency) and upcast on host
+        image, mask = out
+        for i, (_, fut) in enumerate(batch):
+            if not fut.done():
+                fut.set_result(
+                    (image[i], mask[i] if mask is not None else None))
+
     async def _collector(self):
+        loop = asyncio.get_running_loop()
+        sem = asyncio.Semaphore(self.max_inflight)
+        pending = set()
         stopping = False
         while not stopping:
             first = await self._queue.get()
             if first is None:
-                return
+                break
             batch = [first]
             deadline = time.monotonic() + self.max_wait_ms / 1000.0
             while len(batch) < self.max_batch:
@@ -154,33 +241,23 @@ class BatchingServer:
                     stopping = True   # drain this batch, then exit the loop
                     break
                 batch.append(item)
-            imgs = [b[0] for b in batch]
-            loop = asyncio.get_running_loop()
-            try:
-                out, n = await loop.run_in_executor(
-                    None, self._run_batch, imgs)
-            except Exception as e:
-                # a bad request (shape mismatch, OOM, ...) must not kill the
-                # collector: fail this batch's futures and keep serving
-                self._stats["errors"] = self._stats.get("errors", 0) + len(batch)
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(
-                            RuntimeError(f"batch dispatch failed: {e!r}"))
-                continue
-            self._stats["requests"] += n
-            self._stats["batches"] += 1
-            # _fetch pulled the arrays in the device dtype (bf16 serving
-            # config halves the bytes through the host link — at r4's
-            # measured ~12 MB/s fetch rate the transfer dominates reply
-            # latency) and upcast on host
-            image, mask = out
-            for i, (_, fut) in enumerate(batch):
-                if not fut.done():
-                    fut.set_result(
-                        (image[i], mask[i] if mask is not None else None))
+            # bounded pipelining: hold at most max_inflight dispatches; the
+            # next batch keeps coalescing while earlier ones run
+            await sem.acquire()
+            dispatch = loop.run_in_executor(
+                None, self._run_batch, [b[0] for b in batch])
+            task = asyncio.ensure_future(self._complete(dispatch, batch, sem))
+            pending.add(task)
+            task.add_done_callback(pending.discard)
+        if pending:
+            await asyncio.gather(*list(pending))
 
     async def start(self):
+        # fresh queue per start: asyncio primitives bind to the loop that
+        # first awaits them, so a server restarted under a new event loop
+        # (tests, notebook re-runs) would otherwise hang its collector on
+        # the dead loop's queue
+        self._queue = asyncio.Queue()
         self._collector_task = asyncio.create_task(self._collector())
 
     async def stop(self):

@@ -124,7 +124,7 @@ def test_warmup_precompiles_every_batch_shape(engine):
     assert sizes == [1, 2, 4]
     # every dispatchable shape is now in the jit cache: no new trace when a
     # real request arrives
-    cached = engine._fwd_perkey._cache_size()
+    cached = engine._fwd_perkey[BatchingServer.OUTPUTS]._cache_size()
     img = np.random.RandomState(9).rand(64, 64, 3).astype(np.float32)
 
     async def run():
@@ -135,7 +135,7 @@ def test_warmup_precompiles_every_batch_shape(engine):
 
     image, _ = asyncio.run(run())
     assert np.isfinite(image).all()
-    assert engine._fwd_perkey._cache_size() == cached
+    assert engine._fwd_perkey[BatchingServer.OUTPUTS]._cache_size() == cached
 
 
 def test_http_transport(engine):
@@ -288,3 +288,50 @@ def test_probe_fetch_mode(engine):
             [im], np.asarray(jax.random.PRNGKey(0))[None])
         np.testing.assert_allclose(
             image[0, 0], np.asarray(ref["image"][0, 0, 0]), atol=1e-5)
+
+
+def test_staged_input_matches_upload_path(engine):
+    """staged_input (device-pre-staged request image, the r5 loopback mode)
+    must produce the same replies as uploading that image per request, on
+    both the batched and the split dispatch paths."""
+    img = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=50.0,
+                         split_below=4, staged_input=img)
+
+    async def run(n):
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(img) for _ in range(n)])
+        await srv.stop()
+        return outs
+
+    ref = engine.invert_batch_perkey(
+        [img], np.asarray(jax.random.PRNGKey(0))[None])
+    for n in (1, 2):                  # batched b=1 path, then split path
+        for image, mask in asyncio.run(run(n)):
+            np.testing.assert_allclose(
+                image, np.asarray(ref["image"][0]), rtol=0, atol=1e-4)
+            assert mask is not None
+    assert srv.stats["split"] == 2
+
+
+def test_pipelined_collector_matches_lockstep(engine):
+    """max_inflight=2 overlaps dispatches; every reply must still match the
+    direct engine result and the collector must drain cleanly on stop."""
+    rs = np.random.RandomState(11)
+    imgs = [rs.rand(64, 64, 3).astype(np.float32) for _ in range(4)]
+    srv = BatchingServer(engine, max_batch=1, max_wait_ms=1.0,
+                         max_inflight=2)
+
+    async def run():
+        await srv.start()
+        outs = await asyncio.gather(*[srv.invert(im) for im in imgs])
+        await srv.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    assert srv.stats["batches"] == 4 and srv.stats["requests"] == 4
+    for im, (image, mask) in zip(imgs, outs):
+        ref = engine.invert_batch_perkey(
+            [im], np.asarray(jax.random.PRNGKey(0))[None])
+        np.testing.assert_allclose(image, np.asarray(ref["image"][0]),
+                                   rtol=0, atol=1e-5)

@@ -12,10 +12,14 @@ Env: CLIENTS (default "1,4,8"), REQS per client (default 24),
 MAX_WAIT_MS (default 5).
 
 LOOPBACK=1 (r5 VERDICT ask #7): replies carry a 1x1 probe instead of the
-full image (BatchingServer fetch="probe") so the collector/batch/split
-logic is exercised at DEVICE rates instead of the ~12 MB/s relay-tunnel
-rate that made the r4 table host-link-bound; rows run with the measured
-split_below=7 policy and with split_below=0 for comparison.
+full image (BatchingServer fetch="probe") AND the request image is
+pre-staged on device (staged_input — dispatches build batches by
+device-side concat), so neither direction crosses the ~12 MB/s relay
+tunnel and the collector/batch/split logic is exercised at DEVICE rates.
+(First loopback cut kept real request uploads: every row saturated at
+1.3-2.1 req/s because a 1024px fp32 request body is ~1 s of tunnel —
+PERF.md r5.) Rows run split_below 7 vs 0 and max_inflight 1 vs 2 (the
+pipelined collector hides the ~29 ms per-dispatch fetch RTT).
 """
 import asyncio
 import os, sys, time
@@ -59,14 +63,17 @@ def main():
     loopback = os.environ.get("LOOPBACK") == "1"
     engine = InversionEngine(OPT)
     fetch = "probe" if loopback else "full"
-    variants = ([("split7", 7), ("split0", 0)] if loopback
-                else [("", 0)])
+    variants = ([("split7_if1", 7, 1), ("split7_if2", 7, 2),
+                 ("split0_if1", 0, 1), ("split0_if2", 0, 2)] if loopback
+                else [("", 0, 1)])
     img = (np.random.RandomState(0).rand(1024, 1024, 3) * 0.9).astype(
         np.float32)
 
-    for tag, sb in variants:
+    for tag, sb, inflight in variants:
         srv = BatchingServer(engine, max_batch=8, max_wait_ms=WAIT,
-                             split_below=sb, fetch=fetch)
+                             split_below=sb, fetch=fetch,
+                             staged_input=img if loopback else None,
+                             max_inflight=inflight)
         t0 = time.time()
         sizes = srv.warmup()
         print(f"{tag} warmup: compiled batch sizes {sizes} in "
@@ -74,8 +81,9 @@ def main():
 
         async def run_all():
             await srv.start()
+            default_clients = "1,4,8,16" if loopback else "1,4,8"
             for n in [int(v) for v in
-                      os.environ.get("CLIENTS", "1,4,8").split(",")]:
+                      os.environ.get("CLIENTS", default_clients).split(",")]:
                 lats, wall = await drive(srv, n, img)  # warms pacing
                 lats, wall = await drive(srv, n, img)
                 thr = len(lats) / wall
