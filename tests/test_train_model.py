@@ -21,6 +21,15 @@ def micro_opt(**over):
             "out_size": 64,
             "style_dim": 512,
             "channel_multiplier": 1,
+            # minimal IR-SE trunk + mapping (same tap/stage shapes as the
+            # full nets — nn/irse.py get_blocks(4)): the train-step contract
+            # under test (phases, fix_and_grad, collectives) is depth-
+            # independent and the encoder is FROZEN in the recipe anyway,
+            # while a 50-layer trunk dominated these tests' trace+compile
+            # (r5 re-measure: the two default-tier mesh parity tests alone
+            # cost 7:17 of the 26-minute tier)
+            "encoder_num_layers": 4,
+            "n_mlp": 2,
             "enable_modulation": True,
             "modulation_type": "NOISE",
             "warp_scale": 0.08,
@@ -175,12 +184,23 @@ def test_unknown_loss_opt_raises():
 
 
 def test_inert_reference_train_keys_accepted():
-    """Keys the reference accepts as dead hooks (ldm/clip/... _opt,
-    mixing_prob) must not error — they warn and stay inert."""
+    """Keys the reference accepts as dead hooks (clip_opt, mixing_prob, ...)
+    must not error — they warn and stay inert. ldm_opt is NOT inert since
+    the r5 wiring (models/ood_model.py ldm loss on (fake_hr, gt), mirroring
+    OOD_faceGAN_model.py:183-184, 698-703): with a registered type it
+    builds, and without a `type` it errors exactly like the reference's
+    build_loss would."""
+    import pytest
     opt = micro_opt()
-    opt["train"]["ldm_opt"] = {"loss_weight": 1.0}
+    opt["train"]["clip_opt"] = {"loss_weight": 1.0}
     opt["train"]["mixing_prob"] = 0.9
+    opt["train"]["ldm_opt"] = {"type": "MSELoss", "loss_weight": 1.0}
     build_model(opt)
+
+    opt2 = micro_opt()
+    opt2["train"]["ldm_opt"] = {"loss_weight": 1.0}   # no type: reference
+    with pytest.raises(KeyError):                     # KeyErrors too
+        build_model(opt2)
 
 
 def test_path_reg_runs_at_batch1_with_shrink():
