@@ -32,6 +32,11 @@ def main():
                          "batch-1 calls (mitigates the v5e intermediate-"
                          "batch collapse, PERF.md r4; default 7 = measured "
                          "break-even there; 0 disables)")
+    ap.add_argument("--max-inflight", type=int, default=2,
+                    help="coalesced batches allowed in flight at once; 2 "
+                         "overlaps one batch's reply fetch with the next "
+                         "batch's compute (+15%% at >max-batch concurrent "
+                         "clients, PERF.md r5 loopback; 1 = lockstep)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile every dispatchable batch shape before "
                          "accepting traffic (no compile stall on first hits)")
@@ -68,7 +73,8 @@ def main():
         mesh = make_mesh((accel or jax.devices())[:args.shard_devices])
     srv = BatchingServer(engine, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms, mesh=mesh,
-                         split_below=args.split_below)
+                         split_below=args.split_below,
+                         max_inflight=args.max_inflight)
     if args.warmup:
         sizes = srv.warmup()
         print(f"warmed batch shapes: {sizes}")
